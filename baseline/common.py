@@ -1,0 +1,52 @@
+"""Shared helpers for the CPU baseline scripts.
+
+Reference: baseline/{filter,join,sum,take}.py — pyarrow/polars/datafusion
+benchmarks over an SF sweep, CSV rows of
+(sf, batches, batch_size, result_rows, real_ms, cpu_ms, rss_kib).
+polars/datafusion are gated on availability (not in this image).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import resource
+import sys
+import time
+
+
+def measure(fn):
+    """Run fn once; returns (result, real_ms, cpu_ms, rss_kib)."""
+    t0 = time.perf_counter()
+    c0 = time.process_time()
+    result = fn()
+    real_ms = (time.perf_counter() - t0) * 1e3
+    cpu_ms = (time.process_time() - c0) * 1e3
+    rss_kib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    return result, real_ms, cpu_ms, rss_kib
+
+
+def emit_csv(rows, header, path=None):
+    out = open(path, "w", newline="") if path else sys.stdout
+    w = csv.writer(out)
+    w.writerow(header)
+    w.writerows(rows)
+    if path:
+        out.close()
+
+
+def sf_sweep():
+    """SF values: env SF for a single point, else 2^0..2^4 (the reference
+    sweeps to 2^11 on big machines; keep local default small)."""
+    if os.environ.get("SF"):
+        return [int(os.environ["SF"])]
+    return [1 << i for i in range(5)]
+
+
+def have_polars():
+    try:
+        import polars  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

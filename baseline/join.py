@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""CPU join baseline (reference baseline/join.py:89-116): per SF, 32 batches
+x 64Ki rows per side, inner join fk == pk; optional partitioned mode
+(partition_size=2Mi)."""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pyarrow as pa
+
+from baseline.common import emit_csv, measure, sf_sweep
+from dpu_olap_tpu.generator import make_join_tables
+
+
+def run(sf: int, partitioned: bool, batches=32, batch_size=1 << 16):
+    left, right = make_join_tables(sf * batches, batch_size, batch_size)
+    lt = pa.Table.from_batches([b.to_arrow() for b in left])
+    rt = pa.Table.from_batches([b.to_arrow() for b in right])
+
+    if not partitioned:
+        def work():
+            return lt.join(rt, keys="fk", right_keys="pk", join_type="inner").num_rows
+    else:
+        part_rows = 1 << 21  # partition_size=2Mi (run-python-baselines.sh)
+
+        def work():
+            total = 0
+            for start in range(0, rt.num_rows, part_rows):
+                rp = rt.slice(start, part_rows)
+                lo, hi = start, start + rp.num_rows
+                import pyarrow.compute as pc
+
+                m = pc.and_(
+                    pc.greater_equal(lt["fk"], pa.scalar(lo, pa.uint32())),
+                    pc.less(lt["fk"], pa.scalar(hi, pa.uint32())),
+                )
+                lp = lt.filter(m)
+                total += lp.join(rp, keys="fk", right_keys="pk", join_type="inner").num_rows
+            return total
+
+    return measure(work)
+
+
+def main():
+    partitioned = os.environ.get("PARTITIONED", "0") == "1"
+    rows = []
+    for sf in sf_sweep():
+        n, real, cpu, rss = run(sf, partitioned)
+        rows.append(
+            ["arrow", sf, sf * 32, 1 << 16, n, f"{real:.3f}", f"{cpu:.3f}", rss]
+        )
+    emit_csv(rows, ["engine", "sf", "batches", "batch_size", "rows", "real_ms", "cpu_ms", "rss_kib"])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Sum-aggregate operator drivers.
+
+SumTpu — reference SumDpu (host/aggr/aggr_dpu.cc:31-89): broadcast params,
+per-round copy + exec, gather per-DPU uint64 partials, host-side total. Here
+the exact uint64 pair reduction (ops/aggregate.py) runs over the sharded
+array in one jit — XLA inserts the cross-device psum — and the host combines
+per-round (lo, hi) pairs.
+
+SumNative — arrow aggregate ExecPlan oracle (host/aggr/aggr_native.cc).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..columnar import Table
+from ..ops.aggregate import sum_u64_pair, u64_pair_to_int
+from ..parallel.mesh import DeviceSet
+from ..timer import Timers, timed
+
+
+class SumTpu:
+    def __init__(self, ds: DeviceSet, table: Table, column: str = "a"):
+        self.ds, self.table, self.column = ds, table, column
+        self.timers = Timers()
+
+    def Prepare(self):
+        assert len(self.table) % self.ds.nr_devices == 0
+        self._fn = jax.jit(sum_u64_pair)
+        return self
+
+    def Run(self) -> int:
+        d = self.ds.nr_devices
+        with timed(self.timers, "copy-to-device"):
+            host = np.stack([np.asarray(b[self.column]) for b in self.table])
+            dev = self.ds.scatter(host.reshape(d, -1))
+        with timed(self.timers, "device-work"):
+            lo, hi = self._fn(dev)
+        with timed(self.timers, "copy-from-device"):
+            return u64_pair_to_int(np.asarray(lo), np.asarray(hi))
+
+    def Timers(self):
+        return self.timers
+
+
+class SumNative:
+    def __init__(self, table: Table, column: str = "a"):
+        self.table, self.column = table, column
+        self.timers = Timers()
+
+    def Prepare(self):
+        import pyarrow as pa
+
+        self._chunked = pa.chunked_array(
+            [pa.array(np.asarray(b[self.column])) for b in self.table]
+        )
+        return self
+
+    def Run(self) -> int:
+        import pyarrow.compute as pc
+
+        with timed(self.timers, "native-work"):
+            return int(pc.sum(self._chunked).as_py())
+
+    def Timers(self):
+        return self.timers

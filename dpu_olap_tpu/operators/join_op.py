@@ -1,0 +1,205 @@
+"""Join operator drivers.
+
+JoinTpu — reference JoinDpu (host/join/join_dpu.cc), the flagship: Phase A
+partitions both tables into global hash partitions; Phase B joins partition
+pairs device-wise (HashBuild + HashProbe + Take per value column), then the
+host reassembles result batches (:371-399).
+
+Two execution paths:
+  * batches == devices: the pure-ICI path — one SPMD program co-shuffles both
+    sides with an all-to-all and joins locally (parallel/dist_join.py). No
+    host bounce at all; this is the TPU-native ideal the reference's
+    host-bounced sg_xfer approximates.
+  * batches > devices ("virtual DPU" rounds, join_dpu.cc:191,254): Phase A
+    uses the host-staged Partitioner into B global partitions (native slab
+    assembly), Phase B scatters rounds of D padded partition pairs and runs
+    the fused build+probe+take shard join per device.
+
+JoinNative — pyarrow hash join (host/join/join_native.cc:31-40 oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..columnar import Table
+from ..config import FLAGS
+from ..ops.hashtable import EMPTY
+from ..parallel.dist_join import dist_join
+from ..parallel.mesh import AXIS, DeviceSet
+from ..parallel.partitioner import Partitioner
+from ..timer import Timers, timed
+
+
+def _pad_to(arr: np.ndarray, m: int, fill) -> np.ndarray:
+    out = np.full(m, fill, dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+class JoinTpu:
+    """Inner PK/FK join: left (fk, y...) x right (pk, x...) -> left cols + x."""
+
+    def __init__(
+        self,
+        ds: DeviceSet,
+        left: Table,
+        right: Table,
+        fk: str = "fk",
+        pk: str = "pk",
+        impl: str = "cuckoo",
+    ):
+        self.ds, self.left, self.right = ds, left, right
+        self.fk, self.pk = fk, pk
+        self.impl = impl
+        self.timers = Timers()
+
+    def Prepare(self):
+        assert len(self.left) == len(self.right)
+        assert len(self.left) % self.ds.nr_devices == 0
+        self.left_cols = [c for c in self.left.names if c != self.fk]
+        self.right_cols = [c for c in self.right.names if c != self.pk]
+        self._shard_join_fn = None
+        self._shard_join_key = None
+        return self
+
+    # ---- pure-ICI single-round path ---------------------------------------
+
+    def _run_ici(self) -> Dict[str, np.ndarray]:
+        lf = self.left.concat()
+        rt = self.right.concat()
+        with timed(self.timers, "join-total"):
+            fk, lcols, rcols, matched, overflow = dist_join(
+                self.ds,
+                lf[self.fk], tuple(lf[c] for c in self.left_cols),
+                rt[self.pk], tuple(rt[c] for c in self.right_cols),
+                impl=self.impl,
+            )
+            if np.any(np.asarray(overflow)):
+                raise OverflowError("shuffle cell overflow; raise shuffle_slack")
+            m = np.asarray(matched)
+        out = {self.fk: np.asarray(fk)[m]}
+        for name, col in zip(self.left_cols, lcols):
+            out[name] = np.asarray(col)[m]
+        for name, col in zip(self.right_cols, rcols):
+            out[name] = np.asarray(col)[m]
+        return out
+
+    # ---- host-staged multi-round path -------------------------------------
+
+    def _shard_join(self, m_left: int, m_right: int):
+        key = (m_left, m_right)
+        if self._shard_join_fn is None or self._shard_join_key != key:
+            from ..ops.join import join_shard
+
+            nl, nr = len(self.left_cols), len(self.right_cols)
+            impl = self.impl
+
+            def per_device(lf, lps, lvalid, rk, rps, rvalid):
+                # shard-local (1, m) -> 1-D
+                return join_shard(
+                    lf.reshape(-1), tuple(p.reshape(-1) for p in lps),
+                    rk.reshape(-1), tuple(p.reshape(-1) for p in rps),
+                    left_valid=lvalid.reshape(-1),
+                    right_valid=rvalid.reshape(-1),
+                    impl=impl,
+                )
+
+            spec = P(AXIS)
+            self._shard_join_fn = self.ds.shard_fn(
+                per_device,
+                in_specs=(spec,) * 6,
+                out_specs=(spec, spec, spec, spec),
+            )
+            self._shard_join_key = key
+        return self._shard_join_fn
+
+    def _run_partitioned(self) -> Dict[str, np.ndarray]:
+        d = self.ds.nr_devices
+        nparts = len(self.left)  # one partition per input batch pair
+        with timed(self.timers, "partition"):
+            parter = Partitioner(self.ds, nparts, timers=self.timers)
+            left_parts = parter.partition_table(self.left, self.fk, self.left_cols)
+            right_parts = parter.partition_table(self.right, self.pk, self.right_cols)
+
+        # Pad partitions to lane-aligned per-round maxima, then join rounds.
+        out_chunks: List[Dict[str, np.ndarray]] = []
+        for r0 in range(0, nparts, d):
+            lp = left_parts[r0 : r0 + d]
+            rp = right_parts[r0 : r0 + d]
+            ml = max(128, -(-max(len(x[self.fk]) for x in lp) // 128) * 128)
+            mr = max(128, -(-max(len(x[self.pk]) for x in rp) // 128) * 128)
+            with timed(self.timers, "build-probe-take", r0 // d):
+                lane_l = np.arange(ml, dtype=np.uint32)
+                lane_r = np.arange(mr, dtype=np.uint32)
+                lf = self.ds.scatter(
+                    np.stack([_pad_to(x[self.fk], ml, EMPTY) for x in lp])
+                )
+                lps = [
+                    self.ds.scatter(np.stack([_pad_to(x[c], ml, 0) for x in lp]))
+                    for c in self.left_cols
+                ]
+                lvalid = self.ds.scatter(
+                    np.stack([lane_l < len(x[self.fk]) for x in lp])
+                )
+                rk = self.ds.scatter(
+                    np.stack([_pad_to(x[self.pk], mr, EMPTY) for x in rp])
+                )
+                rps = [
+                    self.ds.scatter(np.stack([_pad_to(x[c], mr, 0) for x in rp]))
+                    for c in self.right_cols
+                ]
+                rvalid = self.ds.scatter(
+                    np.stack([lane_r < len(x[self.pk]) for x in rp])
+                )
+                fn = self._shard_join(ml, mr)
+                fk, lcols, rcols, matched = fn(lf, lps, lvalid, rk, rps, rvalid)
+            with timed(self.timers, "gather-result", r0 // d):
+                m = np.asarray(matched)
+                chunk = {self.fk: np.asarray(fk)[m]}
+                for name, col in zip(self.left_cols, lcols):
+                    chunk[name] = np.asarray(col)[m]
+                for name, col in zip(self.right_cols, rcols):
+                    chunk[name] = np.asarray(col)[m]
+                out_chunks.append(chunk)
+
+        names = [self.fk, *self.left_cols, *self.right_cols]
+        return {n: np.concatenate([c[n] for c in out_chunks]) for n in names}
+
+    def Run(self) -> Dict[str, np.ndarray]:
+        if len(self.left) == self.ds.nr_devices:
+            return self._run_ici()
+        return self._run_partitioned()
+
+    def Timers(self):
+        return self.timers
+
+
+class JoinNative:
+    """pyarrow inner hash-join oracle."""
+
+    def __init__(self, left: Table, right: Table, fk: str = "fk", pk: str = "pk"):
+        self.left, self.right = left, right
+        self.fk, self.pk = fk, pk
+        self.timers = Timers()
+
+    def Prepare(self):
+        import pyarrow as pa
+
+        self._left = pa.Table.from_batches([b.to_arrow() for b in self.left])
+        self._right = pa.Table.from_batches([b.to_arrow() for b in self.right])
+        return self
+
+    def Run(self):
+        with timed(self.timers, "native-work"):
+            return self._left.join(
+                self._right, keys=self.fk, right_keys=self.pk, join_type="inner"
+            )
+
+    def Timers(self):
+        return self.timers

@@ -1,0 +1,97 @@
+"""Distributed partitioned hash join over a device mesh.
+
+Reference: host/join/join_dpu.cc — Phase A partitions both tables across all
+DPUs with the shared Partitioner (sg-gather into global partitions,
+:82-142,200-233); Phase B runs HashBuild on the right partition, HashProbe on
+the left, and a Take per right value column, per group of NR_DPUS partitions
+(:254-369).
+
+TPU-native: one jitted SPMD program per round — both sides are co-shuffled by
+the Wang-hash radix bucket of the key, so rows with equal keys land on the
+same device; each device then runs the fused build+probe+take shard join
+(ops/join.py). Phase boundaries that were separate DPU launches with MRAM
+state carry-over become plain dataflow inside a single XLA computation, which
+overlaps the all-to-all with local compute on its own.
+
+Output: per-device padded rows (left-aligned) + matched mask; the host-side
+compaction to a Table is operators/join_op.py's job (the reference equally
+reassembles batches on the host, join_dpu.cc:371-399).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..config import FLAGS
+from .mesh import AXIS, DeviceSet
+from .shuffle import default_cell_size, shuffle_partitions
+
+
+def dist_join_spmd(
+    left_fk: jnp.ndarray,
+    left_payloads: Tuple[jnp.ndarray, ...],
+    right_pk: jnp.ndarray,
+    right_payloads: Tuple[jnp.ndarray, ...],
+    nr_partitions: int,
+    cell_left: int,
+    cell_right: int,
+    impl: str = "cuckoo",
+    axis_name: str = AXIS,
+):
+    """SPMD body (call inside shard_map): co-shuffle + local join."""
+    from ..ops.join import join_shard  # local import to avoid cycles
+
+    right = shuffle_partitions(
+        right_pk, right_payloads, nr_partitions, cell_right, axis_name
+    )
+    left = shuffle_partitions(
+        left_fk, left_payloads, nr_partitions, cell_left, axis_name
+    )
+    rk, rp, r_valid = right.flat()
+    lk, lp, l_valid = left.flat()
+    fk, lcols, rcols, matched = join_shard(
+        lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid, impl=impl
+    )
+    overflow = (left.overflow | right.overflow).reshape(1)
+    return fk, lcols, rcols, matched, overflow
+
+
+def dist_join(
+    ds: DeviceSet,
+    left_fk,
+    left_payloads: Tuple,
+    right_pk,
+    right_payloads: Tuple,
+    impl: str = "cuckoo",
+    cell_left: int | None = None,
+    cell_right: int | None = None,
+):
+    """Build and run the distributed join for arrays sharded over ds.
+
+    Inputs are globally-shaped arrays sharded on axis 0 across the mesh
+    (device i holds rows [i*n/D, (i+1)*n/D)). Returns global padded outputs
+    (fk, left_cols, right_cols, matched, overflow).
+    """
+    n_dev = ds.nr_devices
+    n_left_local = left_fk.shape[0] // n_dev
+    n_right_local = right_pk.shape[0] // n_dev
+    slack = FLAGS.shuffle_slack
+    cell_left = cell_left or default_cell_size(n_left_local, n_dev, slack)
+    cell_right = cell_right or default_cell_size(n_right_local, n_dev, slack)
+
+    def body(lf, lps, rk, rps):
+        return dist_join_spmd(
+            lf, lps, rk, rps, n_dev, cell_left, cell_right, impl=impl
+        )
+
+    sharded = P(AXIS)
+    fn = ds.shard_fn(
+        body,
+        in_specs=(sharded, sharded, sharded, sharded),
+        out_specs=(sharded, sharded, sharded, sharded, P(AXIS)),
+    )
+    return fn(left_fk, left_payloads, right_pk, right_payloads)

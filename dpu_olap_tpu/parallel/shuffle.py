@@ -1,0 +1,130 @@
+"""Distributed hash-partition shuffle: the ragged all-to-all over ICI.
+
+Reference: host/partition/partitioner.{h,cc} — each DPU radix-partitions its
+batch locally, the host computes per-rank slot offsets (GetOffsets,
+partitioner.cc:280-312) and gathers every DPU's partition fragments into
+global partition buffers with scatter/gather DMA (LoadPartitions + get_block,
+partitioner.cc:327-375), start-aligned via per-DPU random output shifts
+(:47-54).
+
+TPU-native redesign: fragments move device-to-device over ICI, never through
+the host. Partition sizes are data-dependent but ICI collectives want static
+shapes, so each (source device -> target partition) fragment rides in a
+fixed-size *cell* of ``cell_size`` rows (slack-padded, FLAGS.shuffle_slack;
+the reference similarly over-allocates partitions 1.5-2x, join_dpu.cc:97-100)
+accompanied by a true-count vector — the count exchange replaces the
+reference's WRAM metadata readback (partitioner.cc:167-180), and cell
+overflow is reported like the reference's Partition::Write throw
+(partition.cc:19-26). One lax.all_to_all moves all fragments; XLA lowers it
+onto ICI links directly. The random-shift DMA alignment machinery has no TPU
+analog and disappears.
+
+Layout per device after the exchange: (P, cell_size) rows where row p holds
+the fragment source-device p contributed to *my* partition, plus counts[p].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.hashtable import EMPTY
+from ..ops.partition import radix_partition
+from .mesh import AXIS
+
+
+@dataclasses.dataclass
+class ShuffleResult:
+    """Per-device padded partition fragments (leading dim = source device)."""
+
+    keys: jnp.ndarray  # (P, cell) uint32, EMPTY in padded lanes
+    payloads: Tuple[jnp.ndarray, ...]  # each (P, cell)
+    counts: jnp.ndarray  # (P,) uint32 true fragment lengths
+    overflow: jnp.ndarray  # bool (1,): some fragment exceeded cell_size
+
+    def flat(self):
+        """Flatten fragments to 1-D (n,) arrays + validity mask."""
+        p, cell = self.keys.shape
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (p, cell), 1)
+        valid = lane < self.counts[:, None]
+        return (
+            self.keys.reshape(-1),
+            tuple(x.reshape(-1) for x in self.payloads),
+            valid.reshape(-1),
+        )
+
+
+jax.tree_util.register_dataclass(
+    ShuffleResult,
+    data_fields=["keys", "payloads", "counts", "overflow"],
+    meta_fields=[],
+)
+
+
+def local_fragments(
+    keys: jnp.ndarray,
+    payloads: Tuple[jnp.ndarray, ...],
+    nr_partitions: int,
+    cell_size: int,
+):
+    """Partition one device's batch and lay fragments into fixed cells.
+
+    Returns (cells_keys (P,cell), cells_payloads, counts (P,), overflow).
+    The kernel_partition equivalent (partition.c) with the metadata the host
+    would have read now staying on-device.
+    """
+    # Shard-local arrays arrive as (1, n) under shard_map; operate in 1-D.
+    keys = keys.reshape(-1)
+    payloads = tuple(p.reshape(-1) for p in payloads)
+    res = radix_partition(keys, nr_partitions)
+    moved = tuple(jnp.take(p, res.selection_indices) for p in payloads)
+    p, cell = nr_partitions, cell_size
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, cell), 1)
+    idx = res.offsets.astype(jnp.int32)[:, None] + lane
+    valid = lane < res.counts.astype(jnp.int32)[:, None]
+    ck = jnp.where(valid, jnp.take(res.keys, idx, mode="clip"), EMPTY)
+    cp = tuple(jnp.where(valid, jnp.take(m, idx, mode="clip"), 0) for m in moved)
+    overflow = jnp.any(res.counts > jnp.uint32(cell))
+    return ck, cp, res.counts, overflow
+
+
+def shuffle_partitions(
+    keys: jnp.ndarray,
+    payloads: Tuple[jnp.ndarray, ...],
+    nr_partitions: int,
+    cell_size: int,
+    axis_name: str = AXIS,
+) -> ShuffleResult:
+    """SPMD shuffle body: call inside shard_map over ``axis_name`` with
+    nr_partitions == axis size. Local partition -> all_to_all exchange."""
+    ck, cp, counts, overflow = local_fragments(keys, payloads, nr_partitions, cell_size)
+    # The exchange: row p of my cells goes to device p; I receive row
+    # my_index from every device. This is the sg_xfer gather of
+    # partitioner.cc:350-375 expressed as one ICI collective.
+    recv_k = jax.lax.all_to_all(ck, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    recv_p = tuple(
+        jax.lax.all_to_all(c, axis_name, split_axis=0, concat_axis=0, tiled=True)
+        for c in cp
+    )
+    recv_counts = jax.lax.all_to_all(
+        counts[:, None], axis_name, split_axis=0, concat_axis=0, tiled=True
+    )[:, 0]
+    return ShuffleResult(
+        keys=recv_k,
+        payloads=recv_p,
+        counts=recv_counts,
+        # rank-1 so it can ride a sharded out_spec (one flag per device)
+        overflow=overflow.reshape(1),
+    )
+
+
+def default_cell_size(local_rows: int, nr_partitions: int, slack: float) -> int:
+    """Slack-padded fragment capacity, rounded up to the 128-lane VPU width
+    (the TPU layout analog of the reference's 8-byte DMA rounding,
+    shared/umq/bitops.h:4)."""
+    base = int(np.ceil(local_rows / nr_partitions * slack))
+    return max(128, -(-base // 128) * 128)

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Full operator benchmark suite -> JSON lines (Google Benchmark analog).
+
+Registers the reference's benchmark set (BASELINE.md):
+  filter_tpu / filter_native   SF*128 batches x 64Ki (scaled down locally)
+  sum_tpu / sum_native         SF x 2Mi
+  take_tpu / take_native       SF x 4Mi data, 512Ki indices
+  join_tpu / join_native       SF x 2Mi per side
+Emits one JSON object per line; scripts/parse_results.py converts to CSV.
+
+Usage: python scripts/run_benchmarks.py [--filter REGEX] [--sf N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def bench_host(fn, warmup=1, iters=3):
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--filter", default=".*")
+    ap.add_argument("--sf", type=int, default=1)
+    ap.add_argument("--batch-shift", type=int, default=16, help="log2 batch size for filter")
+    args = ap.parse_args()
+    pat = re.compile(args.filter)
+    sf = args.sf
+
+    from dpu_olap_tpu.generator import (
+        make_filter_batches,
+        make_join_tables,
+        make_take_batches,
+    )
+    from dpu_olap_tpu.operators import (
+        FilterNative,
+        FilterTpu,
+        JoinNative,
+        JoinTpu,
+        SumNative,
+        SumTpu,
+        TakeNative,
+        TakeTpu,
+    )
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+
+    ds = DeviceSet.allocate()
+    d = ds.nr_devices
+    results = []
+
+    def record(name, sec, items):
+        r = {
+            "name": name,
+            "sf": sf,
+            "devices": d,
+            "real_ms": sec * 1e3,
+            "items_per_s": items / sec,
+            "bytes_per_s": items * 4 / sec,
+        }
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    # filter: SF*128 batches x 64Ki rows (filter_benchmark.cc:150-158)
+    if pat.search("filter_tpu") or pat.search("filter_native"):
+        nb = sf * 128
+        nb = max(d, (nb // d) * d)
+        table = make_filter_batches(nb, 1 << args.batch_shift)
+        items = table.num_rows
+        if pat.search("filter_tpu"):
+            op = FilterTpu(ds, table).Prepare()
+            record("filter_tpu", bench_host(op.Run), items)
+        if pat.search("filter_native"):
+            op = FilterNative(table).Prepare()
+            record("filter_native", bench_host(op.Run), items)
+
+    # sum: SF batches x 2Mi (aggr_benchmark.cc:146-155)
+    if pat.search("sum_tpu") or pat.search("sum_native"):
+        nb = max(d, (sf // d) * d if sf >= d else d)
+        table = make_filter_batches(nb, 1 << 21)
+        items = table.num_rows
+        if pat.search("sum_tpu"):
+            op = SumTpu(ds, table).Prepare()
+            record("sum_tpu", bench_host(op.Run), items)
+        if pat.search("sum_native"):
+            op = SumNative(table).Prepare()
+            record("sum_native", bench_host(op.Run), items)
+
+    # take: SF x 4Mi data / 512Ki indices (take_benchmark.cc:155-164)
+    if pat.search("take_tpu") or pat.search("take_native"):
+        nb = max(d, (sf // d) * d if sf >= d else d)
+        data, idx = make_take_batches(nb, 1 << 22, 1 << 19)
+        items = idx.num_rows
+        if pat.search("take_tpu"):
+            op = TakeTpu(ds, data, idx).Prepare()
+            record("take_tpu", bench_host(op.Run), items)
+        if pat.search("take_native"):
+            op = TakeNative(data, idx).Prepare()
+            record("take_native", bench_host(op.Run), items)
+
+    # join: SF batches x 2Mi per side (join_benchmark.cc:168-176)
+    if pat.search("join_tpu") or pat.search("join_native"):
+        nb = max(d, (sf // d) * d if sf >= d else d)
+        per = max(1 << 10, (sf * (1 << 21)) // nb)
+        left, right = make_join_tables(nb, per, per)
+        items = left.num_rows
+        if pat.search("join_tpu"):
+            op = JoinTpu(ds, left, right).Prepare()
+            record("join_tpu", bench_host(op.Run), items)
+        if pat.search("join_native"):
+            op = JoinNative(left, right).Prepare()
+            record("join_native", bench_host(op.Run), items)
+
+    out = Path(__file__).resolve().parents[1] / "bench_results.json"
+    out.write_text("\n".join(json.dumps(r) for r in results) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dpu_olap_tpu.generator import make_join_tables
+from dpu_olap_tpu.parallel.dist_join import dist_join
+from dpu_olap_tpu.parallel.mesh import DeviceSet
+
+
+def sort_table(t: pa.Table) -> pa.Table:
+    return t.sort_by([(n, "ascending") for n in t.column_names])
+
+
+@pytest.mark.parametrize("impl", ["cuckoo", "sort"])
+def test_dist_join_differential_vs_arrow(impl):
+    # 8 batches on 8 virtual devices — the join_test.cc:82-121 analog:
+    # randomized PK/FK join, per-column equality after canonical sort.
+    ds = DeviceSet.allocate(8)
+    n_b, bl, br = 8, 1 << 11, 1 << 10
+    left, right = make_join_tables(n_b, bl, br)
+
+    lf = left.concat()
+    rt = right.concat()
+    fk, (y,), (x,), matched, overflow = dist_join(
+        ds,
+        lf["fk"], (lf["y"],),
+        rt["pk"], (rt["x"],),
+        impl=impl,
+    )
+    assert not np.any(np.asarray(overflow))
+    m = np.asarray(matched)
+    assert m.sum() == n_b * bl  # guaranteed-match inner join: every left row
+    got = pa.Table.from_arrays(
+        [pa.array(np.asarray(fk)[m]), pa.array(np.asarray(y)[m]), pa.array(np.asarray(x)[m])],
+        names=["fk", "y", "x"],
+    )
+    expect = pa.Table.from_batches([b.to_arrow() for b in left]).join(
+        pa.Table.from_batches([b.to_arrow() for b in right]),
+        keys="fk", right_keys="pk", join_type="inner",
+    ).select(["fk", "y", "x"])
+    assert sort_table(got).equals(sort_table(expect))
+
+
+def test_dist_join_skewed_keys(rng):
+    # Skewed fk distribution (BASELINE.json north star: skew handling) —
+    # 50% of fks hit 1% of the pk space. Shuffle cells must not overflow at
+    # slack 2.0 because *partitions* are hash-of-key balanced only if keys
+    # are distinct; here probe-side dupes concentrate. Use a larger slack.
+    ds = DeviceSet.allocate(8)
+    n = 8 * 1024
+    pk = np.arange(n, dtype=np.uint32)
+    x = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    hot = rng.integers(0, n // 100, size=n // 2).astype(np.uint32)
+    cold = rng.integers(0, n, size=n - n // 2).astype(np.uint32)
+    fk = np.concatenate([hot, cold]).astype(np.uint32)
+    rng.shuffle(fk)
+    y = np.arange(n, dtype=np.uint32)
+
+    fko, (yo,), (xo,), matched, overflow = dist_join(
+        ds,
+        jnp.asarray(fk), (jnp.asarray(y),),
+        jnp.asarray(pk), (jnp.asarray(x),),
+        cell_left=2048,  # hot-key fragments can approach full local size
+    )
+    assert not np.any(np.asarray(overflow))
+    m = np.asarray(matched)
+    assert m.sum() == n
+    # verify every output row: x must equal the x of its fk row
+    np.testing.assert_array_equal(np.asarray(xo)[m], x[np.asarray(fko)[m]])

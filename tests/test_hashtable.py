@@ -1,0 +1,84 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpu_olap_tpu.ops.hashtable import (
+    EMPTY,
+    HashTable,
+    ht_build,
+    ht_probe,
+    table_capacity,
+)
+
+
+def build_unique(rng, n, load_factor=0.5):
+    # Unique keys via permutation sampling (the reference PK contract).
+    keys = rng.choice(np.uint32(2**32 - 2), size=n, replace=False).astype(np.uint32)
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    cap = table_capacity(n, load_factor)
+    table = ht_build(jnp.asarray(keys), jnp.asarray(vals), cap)
+    return keys, vals, table
+
+
+def test_build_and_probe_all_present(rng):
+    # Device-unit analog of dpu/shared/hashtable/hashtable_test.c: insert many
+    # keys, then every key must be retrievable with its value.
+    keys, vals, table = build_unique(rng, 1 << 14)
+    assert bool(table.ok)
+    got, found = ht_probe(table, jnp.asarray(keys))
+    assert bool(jnp.all(found))
+    np.testing.assert_array_equal(np.asarray(got), vals)
+
+
+def test_probe_missing_keys(rng):
+    keys, vals, table = build_unique(rng, 1 << 10)
+    present = set(keys.tolist())
+    miss = np.asarray(
+        [k for k in rng.integers(0, 2**32 - 2, size=4096, dtype=np.uint32) if int(k) not in present]
+    )
+    _, found = ht_probe(table, jnp.asarray(miss))
+    assert not bool(jnp.any(found))
+
+
+def test_valid_mask_excludes_padding(rng):
+    n = 1 << 10
+    keys = rng.choice(np.uint32(2**31), size=n, replace=False).astype(np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    valid = np.zeros(n, bool)
+    valid[: n // 2] = True
+    cap = table_capacity(n)
+    table = ht_build(jnp.asarray(keys), jnp.asarray(vals), cap, valid=jnp.asarray(valid))
+    _, found_valid = ht_probe(table, jnp.asarray(keys[: n // 2]))
+    _, found_invalid = ht_probe(table, jnp.asarray(keys[n // 2 :]))
+    assert bool(jnp.all(found_valid))
+    assert not bool(jnp.any(found_invalid))
+
+
+def test_empty_sentinel_never_inserted():
+    keys = jnp.asarray([1, 2, EMPTY], jnp.uint32)
+    vals = jnp.asarray([10, 20, 30], jnp.uint32)
+    table = ht_build(keys, vals, 8)
+    assert bool(table.ok)
+    _, found = ht_probe(table, jnp.asarray([EMPTY], jnp.uint32))
+    assert not bool(found[0])
+
+
+@pytest.mark.parametrize("load_factor", [0.25, 0.5])
+def test_high_occupancy_converges(rng, load_factor):
+    keys, vals, table = build_unique(rng, 1 << 15, load_factor)
+    assert bool(table.ok)
+    got, found = ht_probe(table, jnp.asarray(keys))
+    assert bool(jnp.all(found))
+    np.testing.assert_array_equal(np.asarray(got), vals)
+
+
+def test_sequential_pk_keys(rng):
+    # The join's actual key distribution: sequential pks (generator.cc:59-71).
+    n = 1 << 14
+    keys = np.arange(n, dtype=np.uint32) + np.uint32(12345)
+    vals = np.arange(n, dtype=np.uint32)
+    table = ht_build(jnp.asarray(keys), jnp.asarray(vals), table_capacity(n))
+    assert bool(table.ok)
+    got, found = ht_probe(table, jnp.asarray(keys))
+    assert bool(jnp.all(found))
+    np.testing.assert_array_equal(np.asarray(got), vals)

@@ -1,0 +1,112 @@
+"""Operator-level differential tests: Tpu vs Native on identical seeded
+inputs — the reference's core test strategy (SURVEY §4)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dpu_olap_tpu.generator import (
+    make_filter_batches,
+    make_join_tables,
+    make_take_batches,
+)
+from dpu_olap_tpu.operators import (
+    FilterNative,
+    FilterTpu,
+    JoinNative,
+    JoinTpu,
+    PartitionTpu,
+    SumNative,
+    SumTpu,
+    TakeNative,
+    TakeTpu,
+)
+from dpu_olap_tpu.ops.hashing import wang_hash_np
+from dpu_olap_tpu.parallel.mesh import DeviceSet
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return DeviceSet.allocate(8)
+
+
+def test_filter_operator_differential(ds):
+    table = make_filter_batches(num_batches=16, batch_size=1 << 12)
+    got = FilterTpu(ds, table).Prepare().Run()
+    expect = FilterNative(table).Prepare().Run()
+    assert len(got) == len(expect) == 16
+    for g, e in zip(got, expect):
+        np.testing.assert_array_equal(g, e)
+    t = FilterTpu(ds, table).timers
+    # phase timers exist (device-work recorded)
+    op = FilterTpu(ds, table).Prepare()
+    op.Run()
+    assert op.Timers().sum_ns("device-work") > 0
+
+
+def test_take_operator_differential(ds):
+    data, idx = make_take_batches(num_batches=8, batch_size=1 << 12, indices_size=1 << 9)
+    got = TakeTpu(ds, data, idx).Prepare().Run()
+    expect = TakeNative(data, idx).Prepare().Run()
+    for g, e in zip(got, expect):
+        np.testing.assert_array_equal(g, e)
+
+
+def test_sum_operator_differential(ds):
+    table = make_filter_batches(num_batches=8, batch_size=1 << 13)
+    got = SumTpu(ds, table).Prepare().Run()
+    expect = SumNative(table).Prepare().Run()
+    assert got == expect
+
+
+def _join_outputs_equal(got_dict, expect_table):
+    got = pa.Table.from_arrays(
+        [pa.array(got_dict[n]) for n in ["fk", "y", "x"]], names=["fk", "y", "x"]
+    )
+    expect = expect_table.select(["fk", "y", "x"])
+    key = [(n, "ascending") for n in ["fk", "y", "x"]]
+    assert got.sort_by(key).equals(expect.sort_by(key))
+
+
+def test_join_operator_ici_path(ds):
+    # batches == devices -> pure all-to-all path
+    left, right = make_join_tables(8, 1 << 11, 1 << 10)
+    got = JoinTpu(ds, left, right).Prepare().Run()
+    expect = JoinNative(left, right).Prepare().Run()
+    assert len(got["fk"]) == expect.num_rows
+    _join_outputs_equal(got, expect)
+
+
+def test_join_operator_partitioned_path(ds):
+    # batches = 2x devices -> host-staged Partitioner + 2 rounds
+    left, right = make_join_tables(16, 1 << 10, 1 << 9)
+    got = JoinTpu(ds, left, right).Prepare().Run()
+    expect = JoinNative(left, right).Prepare().Run()
+    assert len(got["fk"]) == expect.num_rows
+    _join_outputs_equal(got, expect)
+
+
+@pytest.mark.parametrize("impl", ["sort"])
+def test_join_operator_sort_impl(ds, impl):
+    left, right = make_join_tables(8, 1 << 10, 1 << 9)
+    got = JoinTpu(ds, left, right, impl=impl).Prepare().Run()
+    expect = JoinNative(left, right).Prepare().Run()
+    _join_outputs_equal(got, expect)
+
+
+def test_partition_operator(ds):
+    # The standalone partition op (working, unlike the reference's).
+    table = make_filter_batches(num_batches=8, batch_size=1 << 12)
+    parts = PartitionTpu(ds, table, "a", nr_partitions=16).Prepare().Run()
+    assert len(parts) == 16
+    allv = np.concatenate([p["a"] for p in parts])
+    orig = np.concatenate([np.asarray(b["a"]) for b in table])
+    # same multiset of rows
+    np.testing.assert_array_equal(np.sort(allv), np.sort(orig))
+    # rows in partition p hash-bucket to p
+    shift = 1 + (32 - 16 .bit_length())
+    for p, part in enumerate(parts):
+        if len(part["a"]):
+            np.testing.assert_array_equal(
+                wang_hash_np(part["a"]) >> np.uint32(shift), p
+            )

@@ -1,0 +1,47 @@
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dpu_olap_tpu.ops.aggregate import sum_u64, sum_u64_pair, u64_pair_to_int
+from dpu_olap_tpu.ops.take import take, take_masked
+
+
+def test_take_differential_vs_arrow(rng):
+    data = rng.integers(0, 2**32, size=1 << 16, dtype=np.uint32)
+    idx = rng.integers(0, 1 << 16, size=1 << 13, dtype=np.uint32)
+    got = np.asarray(take(jnp.asarray(data), jnp.asarray(idx)))
+    expect = pc.take(pa.array(data), pa.array(idx)).to_numpy()
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_take_masked(rng):
+    data = rng.integers(0, 2**32, size=1024, dtype=np.uint32)
+    idx = rng.integers(0, 1024, size=256, dtype=np.uint32)
+    valid = rng.random(256) < 0.5
+    got = np.asarray(take_masked(jnp.asarray(data), jnp.asarray(idx), jnp.asarray(valid)))
+    np.testing.assert_array_equal(got[valid], data[idx[valid]])
+    assert np.all(got[~valid] == 0)
+
+
+def test_sum_exact_small():
+    v = np.asarray([0xFFFFFFFF, 0xFFFFFFFF, 1], dtype=np.uint32)
+    assert sum_u64(jnp.asarray(v)) == int(v.astype(np.uint64).sum())
+
+
+def test_sum_differential_vs_arrow(rng):
+    # BM_SumDpu shape analog: 2Mi uint32 rows (aggr_benchmark.cc:146-155).
+    v = rng.integers(0, 2**32, size=1 << 21, dtype=np.uint32)
+    expect = int(pc.sum(pa.array(v)).as_py())
+    assert sum_u64(jnp.asarray(v)) == expect
+
+
+def test_sum_pair_jit_composes(rng):
+    v = rng.integers(0, 2**32, size=12345, dtype=np.uint32)  # non-multiple of block
+    lo, hi = sum_u64_pair(jnp.asarray(v))
+    assert u64_pair_to_int(np.asarray(lo), np.asarray(hi)) == int(v.astype(np.uint64).sum())
+
+
+def test_sum_all_max_values():
+    v = np.full(1 << 18, 0xFFFFFFFF, dtype=np.uint32)
+    assert sum_u64(jnp.asarray(v)) == int(v.astype(np.uint64).sum())
