@@ -4,12 +4,15 @@
 Workload (host/join/join_benchmark.cc:168-176, seed 42): SF batches x 2Mi
 rows per side; right = (pk sequential, x random uint32), left = (fk uniform
 within matching pk batch, y random uint32); inner join fk == pk. Metric:
-joined rows/s on the device pipeline, with pyarrow's hash join on this host
-as vs_baseline.
+joined rows/s for the fused device join, with pyarrow's hash join on this
+host as vs_baseline.
 
-Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Detailed per-operator results go to BENCH_DETAILS.json.
+Timing uses device-side chained repetition (bench/device_time.py): on
+tunneled TPU backends block_until_ready acks at enqueue and host sync costs
+~30ms, so each op is run K and 2K times inside one jit with a data dependence
+between iterations and timed by difference — fixed latency cancels.
+
+Prints exactly ONE JSON line; per-operator details go to BENCH_DETAILS.json.
 """
 
 from __future__ import annotations
@@ -24,44 +27,60 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
+    # persistent compile cache: tunnel-side TPU compiles are slow; reuse them
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     import jax
     import jax.numpy as jnp
 
-    from dpu_olap_tpu.bench.harness import time_fn
+    from dpu_olap_tpu.bench.device_time import time_chained
     from dpu_olap_tpu.generator import make_join_tables, make_filter_batches
     from dpu_olap_tpu.ops.filter import filter_compact
     from dpu_olap_tpu.ops.aggregate import sum_u64_pair
-    from dpu_olap_tpu.ops.join import join_shard
+    from dpu_olap_tpu.ops.join import join_shard_fused
     from dpu_olap_tpu.ops.take import take
 
     sf = int(os.environ.get("SF", "1"))
     rows = sf * (1 << 21)  # SF x 2Mi rows per side
     details = {"devices": [str(d) for d in jax.devices()], "sf": sf, "rows": rows}
 
-    # ---- flagship: single-chip join ---------------------------------------
+    # ---- flagship: single-chip fused co-sort join -------------------------
     left, right = make_join_tables(1, rows, rows)
     lb, rb = left[0], right[0]
     lf, ly = lb["fk"], lb["y"]
     rk, rx = rb["pk"], rb["x"]
+    jax.block_until_ready((lf, ly, rk, rx))
 
-    def run_join():
-        return join_shard(lf, (ly,), rk, (rx,))
+    def join_step(c):
+        fk, (y,), (x,), matched = join_shard_fused(c, (ly,), rk, (rx,))
+        return c ^ (fk[:rows] & jnp.uint32(1))
 
-    join_sec = time_fn(run_join, warmup=2, iters=5)
+    _log("timing join (chained)...")
+    join_sec = time_chained(join_step, lf, k=2)
     join_rows_per_s = rows / join_sec
     details["join_real_ms"] = join_sec * 1e3
     details["join_rows_per_s"] = join_rows_per_s
+    _log(f"join: {join_sec*1e3:.3f} ms -> {join_rows_per_s/1e6:.1f} Mrows/s")
 
-    # correctness spot check
-    fk, (y,), (x,), matched = run_join()
-    assert bool(jnp.all(matched)), "join must match every left row"
+    # correctness spot check (forces one real execution; count on device to
+    # avoid a large readback through the tunnel)
+    fk, (y,), (x,), matched = jax.jit(join_shard_fused)(lf, (ly,), rk, (rx,))
+    m = int(np.asarray(jnp.sum(matched.astype(jnp.int32))))
+    assert m == rows, f"join must match every left row, got {m}/{rows}"
+    _log("join correctness ok")
 
     # ---- pyarrow baseline (the reference's native engine) -----------------
     import pyarrow as pa
 
     lt = pa.Table.from_batches([lb.to_arrow()])
     rt = pa.Table.from_batches([rb.to_arrow()])
+    _log("running pyarrow baseline...")
     t0 = time.perf_counter()
     joined = lt.join(rt, keys="fk", right_keys="pk", join_type="inner")
     arrow_sec = time.perf_counter() - t0
@@ -70,20 +89,43 @@ def main():
     details["arrow_join_rows_per_s"] = rows / arrow_sec
 
     # ---- secondary operator metrics ---------------------------------------
-    ft = make_filter_batches(1, min(rows * 4, 1 << 23))
+    nf = min(rows * 4, 1 << 23)
+    ft = make_filter_batches(1, nf)
     fa = ft[0]["a"]
-    filter_sec = time_fn(lambda: filter_compact(fa), warmup=2, iters=5)
-    details["filter_rows_per_s"] = int(fa.shape[0]) / filter_sec
-    details["filter_gb_per_s"] = int(fa.shape[0]) * 4 / filter_sec / 1e9
+    jax.block_until_ready(fa)
 
-    sum_sec = time_fn(lambda: sum_u64_pair(fa), warmup=2, iters=5)
-    details["sum_rows_per_s"] = int(fa.shape[0]) / sum_sec
+    _log("timing filter...")
 
+    def filter_step(c):
+        out, cnt = filter_compact(c)
+        return c ^ (out & jnp.uint32(1)) ^ cnt
+    fsec = time_chained(filter_step, fa, k=16)
+    details["filter_rows_per_s"] = nf / fsec
+    details["filter_gb_per_s"] = nf * 4 / fsec / 1e9
+    _log(f"filter: {fsec*1e3:.3f} ms -> {nf*4/fsec/1e9:.1f} GB/s")
+
+    _log("timing sum...")
+
+    def sum_step(c):
+        lo, hi = sum_u64_pair(c)
+        return c ^ (lo & jnp.uint32(1))
+    ssec = time_chained(sum_step, fa, k=16)
+    details["sum_rows_per_s"] = nf / ssec
+
+    ni = rows // 4
     idx = jnp.asarray(
-        np.random.default_rng(42).integers(0, rows, size=rows // 4, dtype=np.uint32)
-    )
-    take_sec = time_fn(lambda: take(rx, idx), warmup=2, iters=5)
-    details["take_rows_per_s"] = int(idx.shape[0]) / take_sec
+        np.random.default_rng(42).integers(0, rows, size=ni, dtype=np.uint32)
+    ).astype(jnp.int32)
+    jax.block_until_ready(idx)
+
+    _log("timing take...")
+
+    def take_step(c):
+        out = take(rx, c)
+        return c ^ (out & jnp.uint32(1)).astype(jnp.int32)
+    tsec = time_chained(take_step, idx, k=4)
+    details["take_rows_per_s"] = ni / tsec
+    _log("writing results")
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=2)

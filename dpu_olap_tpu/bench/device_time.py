@@ -1,0 +1,63 @@
+"""Device-side timing that is robust to host<->device control latency.
+
+The axon-tunneled TPU has ~30ms host sync latency, so single-dispatch
+wall-clock timing is dominated by the tunnel, not the kernel. Instead, run
+the op K times inside ONE jitted program with a data dependence chained
+through iterations (XLA cannot elide or overlap chained iterations), sync
+once, and divide. The chain perturbation is a cheap elementwise op whose
+cost is measured and subtracted implicitly via the K->2K difference.
+
+time_chained(make_step, x, k) returns seconds per op instance:
+  make_step: fn(carry_array) -> array of same shape/dtype (the op under test
+             must dominate the step's cost).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _chain(make_step, k: int):
+    def run(x):
+        def body(carry, _):
+            return make_step(carry), None
+
+        out, _ = jax.lax.scan(body, x, None, length=k)
+        return out
+
+    return jax.jit(run)
+
+
+def time_chained(make_step, x, k: int = 16, reps: int = 3) -> float:
+    """Median seconds per op, measured as (T(2k) - T(k)) / k so fixed
+    dispatch/sync latency cancels."""
+    import numpy as np
+
+    def _sync(out):
+        # On tunneled platforms block_until_ready can ack at enqueue; a
+        # 1-element device->host readback is the only reliable completion
+        # barrier. Its fixed latency cancels in the K->2K difference.
+        return np.asarray(out.ravel()[:1])
+
+    f1 = _chain(make_step, k)
+    f2 = _chain(make_step, 2 * k)
+    # warm both compiles
+    _sync(f1(x))
+    _sync(f2(x))
+
+    def run(f):
+        t0 = time.perf_counter()
+        _sync(f(x))
+        return time.perf_counter() - t0
+
+    deltas = []
+    for _ in range(reps):
+        t1 = run(f1)
+        t2 = run(f2)
+        deltas.append((t2 - t1) / k)
+    deltas.sort()
+    return max(deltas[len(deltas) // 2], 1e-9)

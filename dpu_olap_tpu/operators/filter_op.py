@@ -43,8 +43,19 @@ class FilterTpu:
         assert b % d == 0, f"{b} batches not divisible by {d} devices"
         self.round_batches = b // d
 
+        rb = self.round_batches
+        from ..ops.filter import default_predicate
+
         def per_device(x):  # x: (1, round_batches, n) — leading dim is the shard
-            return jax.vmap(lambda v: filter_compact(v))(x[0])
+            flat = x.reshape(-1)
+            # Stable compaction of the concatenation == concatenation of the
+            # per-batch compactions, so one kernel pass serves all batches;
+            # per-batch counts locate each chunk.
+            counts = jnp.sum(
+                default_predicate(x[0]).astype(jnp.uint32), axis=1
+            )
+            out, _total = filter_compact(flat)
+            return out, counts
 
         self._fn = self.ds.shard_fn(per_device, in_specs=P(AXIS), out_specs=P(AXIS))
         return self
@@ -59,10 +70,16 @@ class FilterTpu:
         with timed(self.timers, "device-work"):
             padded, counts = self._fn(dev)
         with timed(self.timers, "copy-from-device"):
-            padded_h = np.asarray(padded).reshape(-1, n)
-            counts_h = np.asarray(counts).reshape(-1)
+            flat_h = np.asarray(padded).reshape(d, -1)
+            counts_h = np.asarray(counts).reshape(d, self.round_batches)
         with timed(self.timers, "build-result"):
-            chunks = [padded_h[i, : counts_h[i]] for i in range(len(counts_h))]
+            chunks = []
+            for dev_i in range(d):
+                off = 0
+                for b in range(self.round_batches):
+                    c = int(counts_h[dev_i, b])
+                    chunks.append(flat_h[dev_i, off : off + c])
+                    off += c
         return chunks
 
     def Timers(self):

@@ -52,7 +52,7 @@ class JoinTpu:
         right: Table,
         fk: str = "fk",
         pk: str = "pk",
-        impl: str = "cuckoo",
+        impl: str = "cosort",
     ):
         self.ds, self.left, self.right = ds, left, right
         self.fk, self.pk = fk, pk
@@ -95,20 +95,22 @@ class JoinTpu:
     def _shard_join(self, m_left: int, m_right: int):
         key = (m_left, m_right)
         if self._shard_join_fn is None or self._shard_join_key != key:
-            from ..ops.join import join_shard
+            from ..ops.join import join_shard, join_shard_fused
 
-            nl, nr = len(self.left_cols), len(self.right_cols)
             impl = self.impl
 
             def per_device(lf, lps, lvalid, rk, rps, rvalid):
                 # shard-local (1, m) -> 1-D
-                return join_shard(
+                args = (
                     lf.reshape(-1), tuple(p.reshape(-1) for p in lps),
                     rk.reshape(-1), tuple(p.reshape(-1) for p in rps),
-                    left_valid=lvalid.reshape(-1),
-                    right_valid=rvalid.reshape(-1),
-                    impl=impl,
                 )
+                kw = dict(
+                    left_valid=lvalid.reshape(-1), right_valid=rvalid.reshape(-1)
+                )
+                if impl == "cosort":
+                    return join_shard_fused(*args, **kw)
+                return join_shard(*args, impl=impl, **kw)
 
             spec = P(AXIS)
             self._shard_join_fn = self.ds.shard_fn(

@@ -74,14 +74,28 @@ class HashTable:
     values: jnp.ndarray  # uint32[capacity]
     ways: jnp.ndarray  # uint32[capacity], which hash fn the occupant used
     ok: jnp.ndarray  # bool scalar: build converged (reference assert(ok))
+    rounds: jnp.ndarray  # uint32 scalar: scatter/gather rounds used to build
 
     @property
     def capacity(self) -> int:
         return self.keys.shape[0]
 
+    def stats(self) -> dict:
+        """Build statistics (the HT_ENABLE_STATS analog, hashtable.h:40-48 —
+        there: probe distance and slow-path counts; here: convergence rounds
+        and occupancy)."""
+        occupied = int(jnp.sum(self.keys != EMPTY))
+        return {
+            "capacity": self.capacity,
+            "occupied": occupied,
+            "load_factor": occupied / self.capacity,
+            "build_rounds": int(self.rounds),
+            "converged": bool(self.ok),
+        }
+
 
 jax.tree_util.register_dataclass(
-    HashTable, data_fields=["keys", "values", "ways", "ok"], meta_fields=[]
+    HashTable, data_fields=["keys", "values", "ways", "ok", "rounds"], meta_fields=[]
 )
 
 
@@ -153,7 +167,9 @@ def ht_build(
     state = jax.lax.while_loop(cond_fn, round_fn, state)
     table_k, table_v, table_w = state[0], state[1], state[2]
     ok = ~jnp.any(state[-2])
-    return HashTable(keys=table_k, values=table_v, ways=table_w, ok=ok)
+    return HashTable(
+        keys=table_k, values=table_v, ways=table_w, ok=ok, rounds=state[-1]
+    )
 
 
 @partial(jax.jit, static_argnames=("n_ways",))

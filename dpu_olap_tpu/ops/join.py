@@ -13,12 +13,20 @@ plain SSA values). Output rows keep the left (probe-side) order; the
 reference's output order differs per DPU anyway, and its differential tests
 sort-normalize before comparing (host/join/join_test.cc:27-38).
 
-Two algorithms:
+Three algorithms (chosen from measurement on TPU v5e — element-granular
+scatter/gather lower ~100x off HBM bandwidth in XLA, sorts run ~600M rows/s):
+  * "cosort" (default) — co-sort join: sort the concatenation of both sides
+               by (key, side) so every pk immediately precedes its fks, then
+               propagate the pk's row/payload forward with one associative
+               scan, and restore probe-side order with a second sort. No
+               per-element gathers or scatters at all; measured ~10x faster
+               than the alternatives on v5e. join_shard_fused skips the
+               restore sort and emits key-sorted padded rows directly.
   * "cuckoo" — vectorized cuckoo build + d-gather probe (ops/hashtable.py).
-  * "sort"   — sort-probe join: sort right by key, binary-search each fk
-               (jnp.searchsorted), gather. Same result set; preferred when
-               the build side would be built once and probed once (sorting
-               is one fused XLA op and probing is log(n) gathers).
+               The Wang-hash table component kept for parity with the
+               reference's MRAM hash table; scatter-bound on current XLA.
+  * "sort"   — sort right side + jnp.searchsorted probe. searchsorted
+               lowers poorly on TPU; kept as a simple oracle.
 """
 
 from __future__ import annotations
@@ -35,17 +43,137 @@ from .hashtable import EMPTY, ht_build, ht_probe, table_capacity
 from .take import take
 
 
+def _last_alive_scan(alive, arrays):
+    """Forward-propagate the most recent element where ``alive`` across each
+    array in ``arrays``. Returns (has, filled): has[q] marks that some alive
+    q' <= q exists (filled lanes are meaningless where not).
+
+    On TPU this is the Pallas segment-propagate kernel (ops/scan_pallas.py) —
+    a single HBM pass; the associative_scan fallback is used on CPU where the
+    generic lowering is fine (the TPU compiler chokes on it at Mi-scale).
+    """
+    from .filter import _on_tpu
+
+    if _on_tpu():
+        from .scan_pallas import DEF_R, LANES, propagate_last
+
+        n = alive.shape[0]
+        blk = DEF_R * LANES
+        pad = (-n) % blk
+        a = alive.astype(jnp.int32)
+        arrs = tuple(arrays)
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,), jnp.int32)])
+            arrs = tuple(
+                jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) for x in arrs
+            )
+        has, filled = propagate_last(a, arrs)
+        return has[:n], tuple(f[:n] for f in filled)
+
+    def combine(a, b):
+        take = b[0] > 0
+        return tuple(jnp.where(take, bx, ax) for ax, bx in zip(a, b))
+
+    init = (alive.astype(jnp.int32),) + tuple(arrays)
+    out = jax.lax.associative_scan(combine, init)
+    return out[0] > 0, out[1:]
+
+
+def _cosort_probe(left_fk, right_pk, right_valid, left_valid):
+    """(selection, found) in LEFT row order via co-sort + scan + restore sort."""
+    n_r, n_l = right_pk.shape[0], left_fk.shape[0]
+    pk = right_pk.astype(jnp.uint32)
+    fk = left_fk.astype(jnp.uint32)
+    if right_valid is not None:
+        pk = jnp.where(right_valid, pk, EMPTY)
+    fkk = jnp.where(left_valid, fk, EMPTY) if left_valid is not None else fk
+    keys = jnp.concatenate([pk, fkk])
+    side = jnp.concatenate(
+        [jnp.zeros((n_r,), jnp.int32), jnp.ones((n_l,), jnp.int32)]
+    )
+    rowid = jnp.concatenate(
+        [
+            jax.lax.broadcasted_iota(jnp.uint32, (n_r,), 0),
+            jax.lax.broadcasted_iota(jnp.uint32, (n_l,), 0),
+        ]
+    )
+    sk, sside, srow = jax.lax.sort([keys, side, rowid], num_keys=2)
+    is_pk = sside == 0
+    has, (prow, pkey) = _last_alive_scan(
+        is_pk,
+        (jnp.where(is_pk, srow, 0), jnp.where(is_pk, sk, EMPTY)),
+    )
+    found_sorted = has & (pkey == sk) & (sside == 1) & (sk != EMPTY)
+    # restore probe-side order: sort by original left row (pk rows to the end)
+    left_pos = jnp.where(sside == 1, srow, jnp.uint32(n_l))
+    _, sel2, found2 = jax.lax.sort(
+        [left_pos, prow, found_sorted.astype(jnp.uint32)], num_keys=1
+    )
+    return sel2[:n_l], found2[:n_l] == 1
+
+
+@jax.jit
+def join_shard_fused(
+    left_fk: jnp.ndarray,
+    left_payload: Tuple[jnp.ndarray, ...],
+    right_pk: jnp.ndarray,
+    right_payload: Tuple[jnp.ndarray, ...],
+    left_valid: jnp.ndarray | None = None,
+    right_valid: jnp.ndarray | None = None,
+):
+    """Fully-fused co-sort join: payload columns ride the sort and the
+    propagation scan, so there are no gathers at all. Output rows come back
+    key-sorted (NOT left order) and padded to n_left + n_right with a
+    ``matched`` mask — the natural contract for the distributed path, whose
+    consumers compact by mask anyway (the reference's DPU row order equally
+    differs from input order, host/join/join_test.cc sort-normalizes).
+
+    Returns (fk, left_cols, right_cols, matched), each of length n_l + n_r.
+    """
+    n_r, n_l = right_pk.shape[0], left_fk.shape[0]
+    pk = right_pk.astype(jnp.uint32)
+    fk = left_fk.astype(jnp.uint32)
+    if right_valid is not None:
+        pk = jnp.where(right_valid, pk, EMPTY)
+    fkk = jnp.where(left_valid, fk, EMPTY) if left_valid is not None else fk
+    keys = jnp.concatenate([pk, fkk])
+    side = jnp.concatenate(
+        [jnp.zeros((n_r,), jnp.int32), jnp.ones((n_l,), jnp.int32)]
+    )
+    zeros_r = jnp.zeros((n_r,), jnp.uint32)
+    zeros_l = jnp.zeros((n_l,), jnp.uint32)
+    lcols = [jnp.concatenate([zeros_r, c.astype(jnp.uint32)]) for c in left_payload]
+    rcols = [jnp.concatenate([c.astype(jnp.uint32), zeros_l]) for c in right_payload]
+    sorted_all = jax.lax.sort([keys, side, *lcols, *rcols], num_keys=2)
+    sk, sside = sorted_all[0], sorted_all[1]
+    slcols = sorted_all[2 : 2 + len(lcols)]
+    srcols = sorted_all[2 + len(lcols) :]
+    is_pk = sside == 0
+    has, propagated = _last_alive_scan(
+        is_pk,
+        (jnp.where(is_pk, sk, EMPTY),)
+        + tuple(jnp.where(is_pk, c, 0) for c in srcols),
+    )
+    pkey, prcols = propagated[0], propagated[1:]
+    matched = has & (pkey == sk) & (sside == 1) & (sk != EMPTY)
+    out_l = tuple(jnp.where(matched, c, 0) for c in slcols)
+    out_r = tuple(jnp.where(matched, c, 0) for c in prcols)
+    return jnp.where(matched, sk, 0), out_l, out_r, matched
+
+
 @partial(jax.jit, static_argnames=("impl",))
 def probe_indices(
     left_fk: jnp.ndarray,
     right_pk: jnp.ndarray,
     right_valid: jnp.ndarray | None = None,
     left_valid: jnp.ndarray | None = None,
-    impl: str = "cuckoo",
+    impl: str = "cosort",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """For each left row, the right row index holding its pk (the
     selection_indices_vector of hash_probe.c) plus a found mask."""
     n_right = right_pk.shape[0]
+    if impl == "cosort":
+        return _cosort_probe(left_fk, right_pk, right_valid, left_valid)
     if impl == "cuckoo":
         cap = table_capacity(n_right, FLAGS.ht_load_factor)
         rows = jax.lax.broadcasted_iota(jnp.uint32, (n_right,), 0)
@@ -76,7 +204,7 @@ def join_shard(
     right_payload: Tuple[jnp.ndarray, ...],
     left_valid: jnp.ndarray | None = None,
     right_valid: jnp.ndarray | None = None,
-    impl: str = "cuckoo",
+    impl: str = "cosort",
 ):
     """Inner join of one co-partitioned shard pair.
 

@@ -39,11 +39,11 @@ def dist_join_spmd(
     nr_partitions: int,
     cell_left: int,
     cell_right: int,
-    impl: str = "cuckoo",
+    impl: str = "cosort",
     axis_name: str = AXIS,
 ):
     """SPMD body (call inside shard_map): co-shuffle + local join."""
-    from ..ops.join import join_shard  # local import to avoid cycles
+    from ..ops.join import join_shard, join_shard_fused  # avoid cycles
 
     right = shuffle_partitions(
         right_pk, right_payloads, nr_partitions, cell_right, axis_name
@@ -53,9 +53,16 @@ def dist_join_spmd(
     )
     rk, rp, r_valid = right.flat()
     lk, lp, l_valid = left.flat()
-    fk, lcols, rcols, matched = join_shard(
-        lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid, impl=impl
-    )
+    if impl == "cosort":
+        # fused path: payloads ride the sort, no gathers (rows come back
+        # key-sorted; consumers compact by the matched mask anyway)
+        fk, lcols, rcols, matched = join_shard_fused(
+            lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid
+        )
+    else:
+        fk, lcols, rcols, matched = join_shard(
+            lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid, impl=impl
+        )
     overflow = (left.overflow | right.overflow).reshape(1)
     return fk, lcols, rcols, matched, overflow
 
@@ -66,7 +73,7 @@ def dist_join(
     left_payloads: Tuple,
     right_pk,
     right_payloads: Tuple,
-    impl: str = "cuckoo",
+    impl: str = "cosort",
     cell_left: int | None = None,
     cell_right: int | None = None,
 ):

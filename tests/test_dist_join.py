@@ -12,7 +12,7 @@ def sort_table(t: pa.Table) -> pa.Table:
     return t.sort_by([(n, "ascending") for n in t.column_names])
 
 
-@pytest.mark.parametrize("impl", ["cuckoo", "sort"])
+@pytest.mark.parametrize("impl", ["cuckoo", "sort", "cosort"])
 def test_dist_join_differential_vs_arrow(impl):
     # 8 batches on 8 virtual devices — the join_test.cc:82-121 analog:
     # randomized PK/FK join, per-column equality after canonical sort.

@@ -17,7 +17,7 @@ def sort_table(t: pa.Table) -> pa.Table:
     return t.sort_by([(n, "ascending") for n in t.column_names])
 
 
-@pytest.mark.parametrize("impl", ["cuckoo", "sort"])
+@pytest.mark.parametrize("impl", ["cuckoo", "sort", "cosort"])
 def test_join_literal(impl):
     right_pk = jnp.asarray([10, 11, 12, 13], jnp.uint32)
     right_x = jnp.asarray([100, 110, 120, 130], jnp.uint32)
@@ -29,7 +29,7 @@ def test_join_literal(impl):
     np.testing.assert_array_equal(np.asarray(y), [7, 8, 9, 6])
 
 
-@pytest.mark.parametrize("impl", ["cuckoo", "sort"])
+@pytest.mark.parametrize("impl", ["cuckoo", "sort", "cosort"])
 def test_join_differential_vs_arrow(impl):
     # Generator-shaped workload, one co-partitioned batch pair per side.
     left, right = make_join_tables(num_batches=1, left_batch_size=1 << 13, right_batch_size=1 << 12)
@@ -47,7 +47,7 @@ def test_join_differential_vs_arrow(impl):
     assert sort_table(got).equals(sort_table(expect))
 
 
-@pytest.mark.parametrize("impl", ["cuckoo", "sort"])
+@pytest.mark.parametrize("impl", ["cuckoo", "sort", "cosort"])
 def test_join_with_padding(rng, impl):
     n_r, n_l = 1024, 2048
     pk = rng.choice(np.uint32(2**31), size=n_r, replace=False).astype(np.uint32)
@@ -74,7 +74,7 @@ def test_join_with_padding(rng, impl):
     np.testing.assert_array_equal(got_x, expect_x)
 
 
-@pytest.mark.parametrize("impl", ["cuckoo", "sort"])
+@pytest.mark.parametrize("impl", ["cuckoo", "sort", "cosort"])
 def test_probe_indices_selection_vector(rng, impl):
     n = 4096
     pk = rng.permutation(np.arange(n, dtype=np.uint32))
@@ -82,3 +82,45 @@ def test_probe_indices_selection_vector(rng, impl):
     sel, found = probe_indices(jnp.asarray(fk), jnp.asarray(pk), impl=impl)
     assert bool(jnp.all(found))
     np.testing.assert_array_equal(pk[np.asarray(sel)], fk)
+
+
+def test_join_shard_fused_differential():
+    from dpu_olap_tpu.ops.join import join_shard_fused
+
+    left, right = make_join_tables(num_batches=1, left_batch_size=1 << 13, right_batch_size=1 << 12)
+    lb, rb = left[0], right[0]
+    fk, (y,), (x,), matched = join_shard_fused(
+        lb["fk"], (lb["y"],), rb["pk"], (rb["x"],)
+    )
+    m = np.asarray(matched)
+    assert m.sum() == lb.num_rows  # every left row matched, pk rows unmatched
+    got = pa.Table.from_arrays(
+        [pa.array(np.asarray(fk)[m]), pa.array(np.asarray(y)[m]), pa.array(np.asarray(x)[m])],
+        names=["fk", "y", "x"],
+    )
+    expect = arrow_join_oracle(
+        pa.Table.from_batches([lb.to_arrow()]), pa.Table.from_batches([rb.to_arrow()])
+    ).select(["fk", "y", "x"])
+    assert sort_table(got).equals(sort_table(expect))
+
+
+def test_join_shard_fused_with_padding(rng):
+    from dpu_olap_tpu.ops.join import join_shard_fused
+
+    n_r, n_l = 1024, 2048
+    pk = rng.choice(np.uint32(2**31), size=n_r, replace=False).astype(np.uint32)
+    x = rng.integers(0, 2**32, size=n_r, dtype=np.uint32)
+    r_valid = np.zeros(n_r, bool); r_valid[: n_r // 2] = True
+    fk = pk[rng.integers(0, n_r // 2, size=n_l)]
+    y = rng.integers(0, 2**32, size=n_l, dtype=np.uint32)
+    l_valid = np.zeros(n_l, bool); l_valid[: n_l // 2] = True
+
+    fko, (yo,), (xo,), matched = join_shard_fused(
+        jnp.asarray(fk), (jnp.asarray(y),), jnp.asarray(pk), (jnp.asarray(x),),
+        left_valid=jnp.asarray(l_valid), right_valid=jnp.asarray(r_valid),
+    )
+    m = np.asarray(matched)
+    assert m.sum() == n_l // 2  # only valid left rows match
+    lookup = {int(k): int(v) for k, v in zip(pk[: n_r // 2], x[: n_r // 2])}
+    for k, xv in zip(np.asarray(fko)[m], np.asarray(xo)[m]):
+        assert lookup[int(k)] == int(xv)
