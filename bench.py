@@ -109,7 +109,7 @@ def main():
     def sum_step(c):
         lo, hi = sum_u64_pair(c)
         return c ^ (lo & jnp.uint32(1))
-    ssec = time_chained(sum_step, fa, k=16)
+    ssec = time_chained(sum_step, fa, k=64)
     details["sum_rows_per_s"] = nf / ssec
 
     ni = rows // 4

@@ -36,6 +36,8 @@ from ..ops.hashtable import EMPTY
 from ..ops.partition import radix_partition
 from .mesh import AXIS
 
+LANES_ = 128
+
 
 @dataclasses.dataclass
 class ShuffleResult:
@@ -80,6 +82,27 @@ def local_fragments(
     # Shard-local arrays arrive as (1, n) under shard_map; operate in 1-D.
     keys = keys.reshape(-1)
     payloads = tuple(p.reshape(-1) for p in payloads)
+
+    # TPU fast path: the fused Pallas cells kernel (one HBM pass) — ~15x the
+    # sort-based path. Padded lanes are unspecified there (consumers mask by
+    # counts); the XLA path below EMPTY-pads them.
+    from ..ops.filter import _on_tpu
+
+    n = keys.shape[0]
+    if (
+        _on_tpu()
+        and 2 <= nr_partitions <= 16
+        and nr_partitions & (nr_partitions - 1) == 0
+        and n % (256 * LANES_) == 0
+        and cell_size % LANES_ == 0
+    ):
+        from ..ops.partition_pallas import partition_cells_pallas
+
+        ck, cp, _sel, counts, overflow = partition_cells_pallas(
+            keys, payloads, nr_partitions, cell_size
+        )
+        return ck, cp, counts, overflow
+
     res = radix_partition(keys, nr_partitions)
     moved = tuple(jnp.take(p, res.selection_indices) for p in payloads)
     p, cell = nr_partitions, cell_size
