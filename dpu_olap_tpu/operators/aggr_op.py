@@ -26,15 +26,21 @@ class SumTpu:
         self.timers = Timers()
 
     def Prepare(self):
-        assert len(self.table) % self.ds.nr_devices == 0
         self._fn = jax.jit(sum_u64_pair)
         return self
 
     def Run(self) -> int:
         d = self.ds.nr_devices
+        cols = [np.asarray(b[self.column]) for b in self.table]
+        even = (
+            len(cols) % d == 0
+            and len({c.shape[0] for c in cols}) == 1
+        )
         with timed(self.timers, "copy-to-device"):
-            host = np.stack([np.asarray(b[self.column]) for b in self.table])
-            dev = self.ds.scatter(host.reshape(d, -1))
+            if even:
+                dev = self.ds.scatter(np.stack(cols).reshape(d, -1))
+            else:  # ragged batches (e.g. post-filter): single-array path
+                dev = jax.device_put(np.concatenate(cols))
         with timed(self.timers, "device-work"):
             lo, hi = self._fn(dev)
         with timed(self.timers, "copy-from-device"):

@@ -1,0 +1,184 @@
+"""Declarative query plans: the Arrow ExecPlan analog on TPU.
+
+The reference's native baselines express each benchmark as an Arrow ExecPlan
+(source -> filter -> sink, filter_native.cc:36-72; source -> aggregate ->
+sink, aggr_native.cc:39-92; hashjoin node, join_native.cc:31-40). This module
+gives the TPU framework the same composable surface: build a small plan tree,
+execute it against a DeviceSet.
+
+Nodes materialize host-side Tables between operators (the reference's sink /
+RecordBatchVector boundaries do too); operator-internal compute stays fused
+on device. Columns are uint32 (the reference's type universe).
+
+Example (the BM_FilterDpu query):
+    plan = Filter(Source(table), "a")
+    out = plan.execute(ds)          # Table of passing rows
+Example (the BM_JoinDpu query):
+    plan = HashJoin(Source(left), Source(right), fk="fk", pk="pk")
+    out = plan.execute(ds)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .columnar import Batch, Table
+from .parallel.mesh import DeviceSet
+
+
+class Node:
+    def execute(self, ds: DeviceSet) -> Table:
+        raise NotImplementedError
+
+    # result cache so diamond-shaped plans execute each node once
+    def _run(self, ds) -> Table:
+        if not hasattr(self, "_cached"):
+            self._cached = self.execute(ds)
+        return self._cached
+
+
+@dataclasses.dataclass
+class Source(Node):
+    """Scan of an in-memory Table (the source ExecNode)."""
+
+    table: Table
+
+    def execute(self, ds: DeviceSet) -> Table:
+        return self.table
+
+
+@dataclasses.dataclass
+class Filter(Node):
+    """Predicate filter on one column, keeping whole rows.
+
+    With the default predicate this is the BM_Filter query (v < 2^30). Rows
+    are selected via the selection-vector filter then all columns gathered
+    through it (ops/filter.filter_with_indices + take) — the reference's
+    selection-indices pattern."""
+
+    input: Node
+    column: str
+    predicate: Optional[Callable] = None
+
+    def execute(self, ds: DeviceSet) -> Table:
+        import jax.numpy as jnp
+
+        from .ops.filter import default_predicate, filter_compact, filter_with_indices
+        from .ops.take import take
+
+        pred = self.predicate or default_predicate
+        out = []
+        for batch in self.input._run(ds):
+            others = [n for n in batch.names if n != self.column]
+            if not others:
+                vals, count = filter_compact(batch[self.column], predicate=pred)
+                c = int(count)
+                out.append(Batch({self.column: vals[:c]}))
+                continue
+            vals, idxs, count = filter_with_indices(batch[self.column], predicate=pred)
+            c = int(count)
+            cols = {self.column: vals[:c]}
+            for n in others:
+                cols[n] = take(batch[n], idxs[:c])
+            out.append(Batch(cols))
+        return Table(out)
+
+
+@dataclasses.dataclass
+class Project(Node):
+    """Column selection (the project ExecNode)."""
+
+    input: Node
+    columns: Sequence[str]
+
+    def execute(self, ds: DeviceSet) -> Table:
+        return Table([b.select(list(self.columns)) for b in self.input._run(ds)])
+
+
+@dataclasses.dataclass
+class HashJoin(Node):
+    """PK/FK inner join (the hashjoin ExecNode / BM_JoinDpu query)."""
+
+    left: Node
+    right: Node
+    fk: str = "fk"
+    pk: str = "pk"
+    impl: str = "cosort"
+
+    def execute(self, ds: DeviceSet) -> Table:
+        from .operators.join_op import JoinTpu
+
+        lt = self.left._run(ds)
+        rt = self.right._run(ds)
+        op = JoinTpu(ds, lt, rt, fk=self.fk, pk=self.pk, impl=self.impl).Prepare()
+        cols = op.Run()
+        return Table([Batch.from_numpy(cols)])
+
+
+@dataclasses.dataclass
+class Aggregate(Node):
+    """Scalar aggregation (the aggregate ExecNode; AggrSum is the reference's
+    only registered aggregator, shared/umq/kernels.h:44)."""
+
+    input: Node
+    column: str
+    agg: str = "sum"
+
+    def execute(self, ds: DeviceSet) -> Table:
+        if self.agg != "sum":
+            raise ValueError(f"unsupported aggregate {self.agg!r}")
+        from .operators.aggr_op import SumTpu
+
+        t = self.input._run(ds)
+        result = SumTpu(ds, t, self.column).Prepare().Run()
+        lo = np.uint32(result & 0xFFFFFFFF)
+        hi = np.uint32(result >> 32)
+        return Table(
+            [Batch.from_numpy({f"{self.agg}_lo": np.asarray([lo]), f"{self.agg}_hi": np.asarray([hi])})]
+        )
+
+    def scalar(self, ds: DeviceSet) -> int:
+        t = self._run(ds)
+        b = t[0].to_numpy()
+        return (int(b[f"{self.agg}_hi"][0]) << 32) | int(b[f"{self.agg}_lo"][0])
+
+
+@dataclasses.dataclass
+class TakeNode(Node):
+    """Gather rows by an index table (the take compute kernel)."""
+
+    input: Node
+    indices: Node
+    index_column: str = "i"
+
+    def execute(self, ds: DeviceSet) -> Table:
+        from .ops.take import take
+
+        data = self.input._run(ds)
+        idx = self.indices._run(ds)
+        assert len(data) == len(idx)
+        out = []
+        for db, ib in zip(data, idx):
+            sel = ib[self.index_column]
+            out.append(Batch({n: take(db[n], sel) for n in db.names}))
+        return Table(out)
+
+
+@dataclasses.dataclass
+class Repartition(Node):
+    """Hash repartition by a key column (the standalone partition op)."""
+
+    input: Node
+    key: str
+    nr_partitions: int
+
+    def execute(self, ds: DeviceSet) -> Table:
+        from .operators.partition_op import PartitionTpu
+
+        t = self.input._run(ds)
+        op = PartitionTpu(ds, t, self.key, self.nr_partitions).Prepare()
+        parts = op.Run()
+        return Table([Batch.from_numpy(p) for p in parts if len(next(iter(p.values())))])

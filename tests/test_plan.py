@@ -1,0 +1,96 @@
+"""Query-plan layer differential tests vs pyarrow."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from dpu_olap_tpu.generator import make_filter_batches, make_join_tables, make_take_batches
+from dpu_olap_tpu.parallel.mesh import DeviceSet
+from dpu_olap_tpu.plan import (
+    Aggregate,
+    Filter,
+    HashJoin,
+    Project,
+    Repartition,
+    Source,
+    TakeNode,
+)
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return DeviceSet.allocate(8)
+
+
+def test_filter_plan(ds):
+    table = make_filter_batches(4, 1 << 12)
+    out = Filter(Source(table), "a").execute(ds)
+    for got, b in zip(out, table):
+        arr = pa.array(np.asarray(b["a"]))
+        expect = pc.filter(arr, pc.less(arr, pa.scalar(1 << 30, pa.uint32()))).to_numpy()
+        np.testing.assert_array_equal(np.asarray(got["a"]), expect)
+
+
+def test_filter_plan_multi_column(ds, rng):
+    import jax.numpy as jnp
+
+    from dpu_olap_tpu.columnar import Batch, Table
+
+    a = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    b = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    t = Table([Batch.from_numpy({"a": a, "b": b})])
+    out = Filter(Source(t), "a").execute(ds)
+    mask = a < (1 << 30)
+    np.testing.assert_array_equal(np.asarray(out[0]["a"]), a[mask])
+    np.testing.assert_array_equal(np.asarray(out[0]["b"]), b[mask])
+
+
+def test_join_plan(ds):
+    left, right = make_join_tables(8, 1 << 10, 1 << 9)
+    out = HashJoin(Source(left), Source(right)).execute(ds)
+    expect = pa.Table.from_batches([b.to_arrow() for b in left]).join(
+        pa.Table.from_batches([b.to_arrow() for b in right]),
+        keys="fk", right_keys="pk", join_type="inner",
+    )
+    assert out.num_rows == expect.num_rows
+
+
+def test_aggregate_plan(ds):
+    table = make_filter_batches(8, 1 << 12)
+    agg = Aggregate(Source(table), "a")
+    got = agg.scalar(ds)
+    chunked = pa.chunked_array([pa.array(np.asarray(b["a"])) for b in table])
+    assert got == int(pc.sum(chunked).as_py())
+
+
+def test_filter_then_aggregate_composes(ds):
+    # source -> filter -> aggregate: operator composition end-to-end
+    table = make_filter_batches(4, 1 << 12)
+    agg = Aggregate(Filter(Source(table), "a"), "a")
+    got = agg.scalar(ds)
+    total = 0
+    for b in table:
+        a = np.asarray(b["a"])
+        total += int(a[a < (1 << 30)].astype(np.uint64).sum())
+    assert got == total
+
+
+def test_take_plan(ds):
+    data, idx = make_take_batches(4, 1 << 12, 1 << 9)
+    out = TakeNode(Source(data), Source(idx)).execute(ds)
+    for ob, db, ib in zip(out, data, idx):
+        expect = np.asarray(db["a"])[np.asarray(ib["i"])]
+        np.testing.assert_array_equal(np.asarray(ob["a"]), expect)
+
+
+def test_project_plan(ds):
+    left, _ = make_join_tables(2, 256, 128)
+    out = Project(Source(left), ["y"]).execute(ds)
+    assert out.names == ["y"]
+
+
+def test_repartition_plan(ds):
+    table = make_filter_batches(8, 1 << 12)
+    out = Repartition(Source(table), "a", 16).execute(ds)
+    assert out.num_rows == table.num_rows
