@@ -73,15 +73,29 @@ class JoinTpu:
     def _run_ici(self) -> Dict[str, np.ndarray]:
         lf = self.left.concat()
         rt = self.right.concat()
+        n_dev = self.ds.nr_devices
+        from ..parallel.shuffle import default_cell_size
+
+        slack = FLAGS.shuffle_slack
+        cell_l = default_cell_size(lf.num_rows // n_dev, n_dev, slack)
+        cell_r = default_cell_size(rt.num_rows // n_dev, n_dev, slack)
         with timed(self.timers, "join-total"):
-            fk, lcols, rcols, matched, overflow = dist_join(
-                self.ds,
-                lf[self.fk], tuple(lf[c] for c in self.left_cols),
-                rt[self.pk], tuple(rt[c] for c in self.right_cols),
-                impl=self.impl,
-            )
-            if np.any(np.asarray(overflow)):
-                raise OverflowError("shuffle cell overflow; raise shuffle_slack")
+            # Skew handling: on fragment overflow, double the cell capacity
+            # and retry (the reference instead throws, partition.cc:19-26;
+            # retrying keeps skewed key distributions working unattended).
+            for attempt in range(4):
+                fk, lcols, rcols, matched, overflow = dist_join(
+                    self.ds,
+                    lf[self.fk], tuple(lf[c] for c in self.left_cols),
+                    rt[self.pk], tuple(rt[c] for c in self.right_cols),
+                    impl=self.impl,
+                    cell_left=cell_l, cell_right=cell_r,
+                )
+                if not np.any(np.asarray(overflow)):
+                    break
+                cell_l, cell_r = cell_l * 2, cell_r * 2
+            else:
+                raise OverflowError("shuffle cell overflow after retries")
             m = np.asarray(matched)
         out = {self.fk: np.asarray(fk)[m]}
         for name, col in zip(self.left_cols, lcols):
