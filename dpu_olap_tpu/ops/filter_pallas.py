@@ -82,7 +82,7 @@ def _inclusive_scan_rowmajor(m):
 def _shift_down(arr, s, rows):
     """result[q] = arr[q + s] over the row-major flattened (rows,128) array.
     Slots whose source is beyond the buffer receive wrapped garbage — callers
-    mask with the validity plane (shifted the same way)."""
+    mask (validity plane or hole-encoded distances)."""
     if s % LANES == 0:
         return pltpu.roll(arr, rows - (s // LANES), 0)  # roll by -s/128 rows
     a = pltpu.roll(arr, LANES - s, 1)  # within-row: arr[r, (l+s)%128]
@@ -91,12 +91,34 @@ def _shift_down(arr, s, rows):
     return jnp.where(lane + s < LANES, a, b)
 
 
-def _filter_kernel(threshold, x_ref, out_ref, count_ref, work_v, work_d, work_val,
+def run_butterfly(work_planes, work_d, wrows):
+    """Concentrate packets held in ``work_planes`` (scratch refs) to their
+    destinations: work_d holds each slot's remaining routing distance, with
+    d < 0 marking holes (no validity plane — one fewer shifted array per
+    level). Level b moves packets whose d-bit b is set down 2^b slots; on
+    completion placed packets sit at their targets with d == 0.
+    Shared by the filter and partition kernels."""
+    wflat = _row_iota((wrows, LANES)) * LANES + _lane_iota((wrows, LANES))
+    total = wrows * LANES
+    s = 1
+    while s < total:
+        d = work_d[:]
+        in_range = (wflat + s) < total
+        cd = jnp.where(in_range, _shift_down(d, s, wrows), -1)
+        take = (cd >= 0) & ((cd & s) != 0)
+        stay = (d >= 0) & ((d & s) == 0)
+        for w in work_planes:
+            v = w[:]
+            w[:] = jnp.where(take, _shift_down(v, s, wrows), v)
+        work_d[:] = jnp.where(take, cd - s, jnp.where(stay, d, -1))
+        s *= 2
+
+
+def _filter_kernel(threshold, x_ref, out_ref, count_ref, work_v, work_d,
                    rowbuf, off_ref, sem):
     i = pl.program_id(0)
     r = x_ref.shape[0]
     wrows = r + SKEW
-    wshape = (wrows, LANES)
 
     @pl.when(i == 0)
     def _():
@@ -114,32 +136,15 @@ def _filter_kernel(threshold, x_ref, out_ref, count_ref, work_v, work_d, work_va
     # packets start at row SKEW (skew SKEW*128 > 127), so d > 0 always.
     prefix = _inclusive_scan_rowmajor(mask)
     flat = _row_iota((r, LANES)) * LANES + _lane_iota((r, LANES))
-    d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), 0)
+    d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), -1)
 
     # lay into working planes (rows 0..SKEW-1 = empty landing strip)
     work_v[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
-    work_d[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
-    work_val[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
+    work_d[pl.ds(0, SKEW)] = jnp.full((SKEW, LANES), -1, jnp.int32)
     work_v[pl.ds(SKEW, r)] = blk
     work_d[pl.ds(SKEW, r)] = d_blk
-    work_val[pl.ds(SKEW, r)] = mask
 
-    # butterfly concentration: level b moves packets with d-bit b set
-    wflat = _row_iota(wshape) * LANES + _lane_iota(wshape)
-    total = wrows * LANES
-    s = 1
-    while s < total:
-        v, d, valid = work_v[:], work_d[:], work_val[:]
-        in_range = (wflat + s) < total
-        cv = _shift_down(v, s, wrows)
-        cd = _shift_down(d, s, wrows)
-        cval = jnp.where(in_range, _shift_down(valid, s, wrows), 0)
-        take = (cval == 1) & ((cd & s) != 0)
-        stay = (valid == 1) & ((d & s) == 0)
-        work_v[:] = jnp.where(take, cv, v)
-        work_d[:] = jnp.where(take, cd - s, d)
-        work_val[:] = jnp.where(take, 1, jnp.where(stay, valid, 0))
-        s *= 2
+    run_butterfly([work_v], work_d, wrows)
 
     # merge the shared partial row with what the previous block wrote
     read = pltpu.make_async_copy(out_ref.at[pl.ds(row0, 1)], rowbuf, sem)
@@ -200,8 +205,7 @@ def filter_compact_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((r + SKEW, LANES), jnp.uint32),  # packet values
-            pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # routing distances
-            pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # validity plane
+            pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # routing distances (<0 = hole)
             pltpu.VMEM((1, LANES), jnp.uint32),  # shared-row read buffer
             pltpu.SMEM((1,), jnp.int32),  # running global offset
             pltpu.SemaphoreType.DMA(()),

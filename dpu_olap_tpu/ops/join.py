@@ -131,6 +131,7 @@ def join_shard_fused(
     Returns (fk, left_cols, right_cols, matched), each of length n_l + n_r.
     """
     n_r, n_l = right_pk.shape[0], left_fk.shape[0]
+    m_l, m_r = len(left_payload), len(right_payload)
     pk = right_pk.astype(jnp.uint32)
     fk = left_fk.astype(jnp.uint32)
     if right_valid is not None:
@@ -140,23 +141,29 @@ def join_shard_fused(
     side = jnp.concatenate(
         [jnp.zeros((n_r,), jnp.int32), jnp.ones((n_l,), jnp.int32)]
     )
+    # Sort-traffic minimization: (a) lax.sort is stable and the pk side is
+    # concatenated first, so pk-before-equal-fk ordering comes for free —
+    # ``side`` rides as a non-key operand; (b) left and right payloads occupy
+    # disjoint rows, so payload k of both sides shares ONE merged operand.
     zeros_r = jnp.zeros((n_r,), jnp.uint32)
     zeros_l = jnp.zeros((n_l,), jnp.uint32)
-    lcols = [jnp.concatenate([zeros_r, c.astype(jnp.uint32)]) for c in left_payload]
-    rcols = [jnp.concatenate([c.astype(jnp.uint32), zeros_l]) for c in right_payload]
-    sorted_all = jax.lax.sort([keys, side, *lcols, *rcols], num_keys=2)
+    merged = []
+    for k in range(max(m_l, m_r)):
+        right_half = right_payload[k].astype(jnp.uint32) if k < m_r else zeros_r
+        left_half = left_payload[k].astype(jnp.uint32) if k < m_l else zeros_l
+        merged.append(jnp.concatenate([right_half, left_half]))
+    sorted_all = jax.lax.sort([keys, side, *merged], num_keys=1)
     sk, sside = sorted_all[0], sorted_all[1]
-    slcols = sorted_all[2 : 2 + len(lcols)]
-    srcols = sorted_all[2 + len(lcols) :]
+    smerged = sorted_all[2:]
     is_pk = sside == 0
     has, propagated = _last_alive_scan(
         is_pk,
         (jnp.where(is_pk, sk, EMPTY),)
-        + tuple(jnp.where(is_pk, c, 0) for c in srcols),
+        + tuple(jnp.where(is_pk, c, 0) for c in smerged[:m_r]),
     )
     pkey, prcols = propagated[0], propagated[1:]
     matched = has & (pkey == sk) & (sside == 1) & (sk != EMPTY)
-    out_l = tuple(jnp.where(matched, c, 0) for c in slcols)
+    out_l = tuple(jnp.where(matched, smerged[k], 0) for k in range(m_l))
     out_r = tuple(jnp.where(matched, c, 0) for c in prcols)
     return jnp.where(matched, sk, 0), out_l, out_r, matched
 

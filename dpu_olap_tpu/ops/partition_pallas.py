@@ -34,7 +34,7 @@ from .filter_pallas import (
     _inclusive_scan_rowmajor,
     _lane_iota,
     _row_iota,
-    _shift_down,
+    run_butterfly,
 )
 
 DEF_R = 256  # rows per block (32Ki elements)
@@ -72,11 +72,10 @@ def _partition_kernel(
     sc = list(refs[n_pay + 3 + n_pay :])
     work = sc[:n_planes]  # uint32 planes: key, sel, pays
     work_d = sc[n_planes]
-    work_val = sc[n_planes + 1]
-    rowbufs = sc[n_planes + 2 : 2 * n_planes + 2]
-    offs = sc[2 * n_planes + 2]  # SMEM (P,)
-    ovf = sc[2 * n_planes + 3]  # SMEM (1,)
-    sem = sc[2 * n_planes + 4]
+    rowbufs = sc[n_planes + 1 : 2 * n_planes + 1]
+    offs = sc[2 * n_planes + 1]  # SMEM (P,)
+    ovf = sc[2 * n_planes + 2]  # SMEM (1,)
+    sem = sc[2 * n_planes + 3]
 
     i = pl.program_id(0)
     r = x_ref.shape[0]
@@ -95,8 +94,6 @@ def _partition_kernel(
     # global row index of each element = selection indices payload
     sel = (flat + i * (r * LANES)).astype(jnp.uint32)
 
-    wflat = _row_iota((wrows, LANES)) * LANES + _lane_iota((wrows, LANES))
-    total = wrows * LANES
     outs = [out_k, out_sel, *out_pay]
 
     for p in range(p_parts):
@@ -107,33 +104,16 @@ def _partition_kernel(
         row0 = jax.lax.div(off, LANES)
 
         prefix = _inclusive_scan_rowmajor(mask)
-        d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), 0)
+        d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), -1)
 
         planes = [blk, sel, *pays]
         for k in range(n_planes):
             work[k][pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
             work[k][pl.ds(SKEW, r)] = planes[k]
-        work_d[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
+        work_d[pl.ds(0, SKEW)] = jnp.full((SKEW, LANES), -1, jnp.int32)
         work_d[pl.ds(SKEW, r)] = d_blk
-        work_val[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
-        work_val[pl.ds(SKEW, r)] = mask
 
-        s = 1
-        while s < total:
-            vs = [w[:] for w in work]
-            d = work_d[:]
-            valid = work_val[:]
-            in_range = (wflat + s) < total
-            cvs = [_shift_down(v, s, wrows) for v in vs]
-            cd = _shift_down(d, s, wrows)
-            cval = jnp.where(in_range, _shift_down(valid, s, wrows), 0)
-            take = (cval == 1) & ((cd & s) != 0)
-            stay = (valid == 1) & ((d & s) == 0)
-            for k in range(n_planes):
-                work[k][:] = jnp.where(take, cvs[k], vs[k])
-            work_d[:] = jnp.where(take, cd - s, d)
-            work_val[:] = jnp.where(take, 1, jnp.where(stay, valid, 0))
-            s *= 2
+        run_butterfly(work, work_d, wrows)
 
         # merge this cell's shared partial row, then chunked append
         for k in range(n_planes):
@@ -226,8 +206,7 @@ def partition_cells_pallas(
         scratch_shapes=(
             [pltpu.VMEM((r + SKEW, LANES), jnp.uint32) for _ in range(n_planes)]
             + [
-                pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # distances
-                pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # validity
+                pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # distances (<0 = hole)
             ]
             + [pltpu.VMEM((1, LANES), jnp.uint32) for _ in range(n_planes)]
             + [
