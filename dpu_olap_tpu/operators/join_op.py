@@ -187,8 +187,20 @@ class JoinTpu:
         names = [self.fk, *self.left_cols, *self.right_cols]
         return {n: np.concatenate([c[n] for c in out_chunks]) for n in names}
 
+    # Working-set budget for the all-device-resident path: beyond this the
+    # host-staged Partitioner streams rounds (the reference's virtual-DPU
+    # outer loop, join_dpu.cc:191,254). ~10 uint32 temporaries per row in the
+    # fused join => 64Mi rows/side ~ 5GB of HBM.
+    MAX_RESIDENT_ROWS = 64 << 20
+
     def Run(self) -> Dict[str, np.ndarray]:
-        if len(self.left) == self.ds.nr_devices:
+        d = self.ds.nr_devices
+        fits = (
+            self.left.num_rows % d == 0
+            and self.right.num_rows % d == 0
+            and max(self.left.num_rows, self.right.num_rows) <= self.MAX_RESIDENT_ROWS
+        )
+        if fits:
             return self._run_ici()
         return self._run_partitioned()
 

@@ -77,3 +77,40 @@ def sum_u64(values: jnp.ndarray) -> int:
     """Host-visible exact sum (device reduction + 2-scalar readback)."""
     lo, hi = sum_u64_pair(values)
     return u64_pair_to_int(np.asarray(lo), np.asarray(hi))
+
+
+# ---------------------------------------------------------------------------
+# Pluggable aggregators
+# ---------------------------------------------------------------------------
+# The reference's kernel_aggr takes an aggregator_fn_t fold function
+# (dpu/shared/kernels/aggr.h:9-25) with AggrSum as the one registered
+# aggregator (shared/umq/kernels.h:44, dpu/aggr/main.c:38-51). The same
+# plug-in surface, TPU-side: each aggregator is a jitted whole-column
+# reduction; results are exact (uint64 for sum/count via pair lanes).
+
+
+@jax.jit
+def min_u32(values: jnp.ndarray) -> jnp.ndarray:
+    return jnp.min(values.astype(jnp.uint32))
+
+
+@jax.jit
+def max_u32(values: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(values.astype(jnp.uint32))
+
+
+AGGREGATORS = {
+    "sum": lambda v: sum_u64(v),
+    "min": lambda v: int(np.asarray(min_u32(v))),
+    "max": lambda v: int(np.asarray(max_u32(v))),
+    "count": lambda v: int(v.shape[0]),
+}
+
+
+def aggregate(values: jnp.ndarray, agg: str = "sum") -> int:
+    """Run a registered aggregator (AggrSum dispatch analog)."""
+    try:
+        fn = AGGREGATORS[agg]
+    except KeyError:
+        raise ValueError(f"unknown aggregator {agg!r}; have {sorted(AGGREGATORS)}")
+    return fn(values)

@@ -70,8 +70,14 @@ class DeviceSet:
 
     def shard_fn(self, fn: Callable, in_specs, out_specs) -> Callable:
         """Wrap an SPMD function over the mesh (the kernel-launch analog —
-        one program instance per device, like exec(), dpuext.hpp:637-642)."""
-        sm = jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs)
+        one program instance per device, like exec(), dpuext.hpp:637-642).
+
+        check_vma=False: Pallas kernels inside the body can't annotate their
+        outputs' varying-over-mesh type, which the checker requires."""
+        sm = jax.shard_map(
+            fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
         return jax.jit(sm)
 
     @staticmethod

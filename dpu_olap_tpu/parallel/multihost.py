@@ -144,6 +144,7 @@ def dist_join_2d(
             mesh=mesh,
             in_specs=(spec, spec, spec, spec),
             out_specs=(spec, spec, spec, spec, spec),
+            check_vma=False,  # Pallas outputs can't carry vma annotations
         )
     )
     sharding = NamedSharding(mesh, spec)

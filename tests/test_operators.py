@@ -78,7 +78,19 @@ def test_join_operator_ici_path(ds):
 
 
 def test_join_operator_partitioned_path(ds):
-    # batches = 2x devices -> host-staged Partitioner + 2 rounds
+    # force the host-staged Partitioner + rounds path (large-working-set
+    # fallback) by shrinking the residency budget
+    left, right = make_join_tables(16, 1 << 10, 1 << 9)
+    op = JoinTpu(ds, left, right).Prepare()
+    op.MAX_RESIDENT_ROWS = 1 << 10  # everything "too big"
+    got = op.Run()
+    expect = JoinNative(left, right).Prepare().Run()
+    assert len(got["fk"]) == expect.num_rows
+    _join_outputs_equal(got, expect)
+
+
+def test_join_operator_many_batches_ici(ds):
+    # batches = 2x devices but within budget -> all-device-resident path
     left, right = make_join_tables(16, 1 << 10, 1 << 9)
     got = JoinTpu(ds, left, right).Prepare().Run()
     expect = JoinNative(left, right).Prepare().Run()
