@@ -27,6 +27,7 @@ _LIB_PATH = _DIR / "libueruntime.so"
 _build_lock = threading.Lock()
 
 _lib = None
+_build_failed = False
 AVAILABLE = False
 
 
@@ -50,11 +51,14 @@ def _build() -> bool:
 
 
 def _load():
-    global _lib, AVAILABLE
+    global _lib, AVAILABLE, _build_failed
     with _build_lock:
         if _lib is not None:
             return _lib
+        if _build_failed:  # don't re-run make (and re-print) per caller
+            return None
         if not _build():
+            _build_failed = True
             return None
         lib = ctypes.CDLL(str(_LIB_PATH))
         c = ctypes

@@ -131,6 +131,12 @@ def filter_with_indices(
     Returns (padded_values, padded_indices, count); padded index lanes are n.
     """
     impl = impl or FLAGS.filter_impl
+    # No Pallas selection-index kernel yet: "auto"/"pallas" run the scatter
+    # path here (unlike filter_compact). Unknown impls are rejected.
+    if impl in ("auto", "pallas"):
+        impl = "scatter"
+    if impl not in ("scatter", "sort"):
+        raise ValueError(f"unknown filter impl {impl!r}")
     n = values.shape[0]
     mask = predicate(values)
     iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)

@@ -186,6 +186,10 @@ def probe_indices(
         rows = jax.lax.broadcasted_iota(jnp.uint32, (n_right,), 0)
         table = ht_build(right_pk, rows, cap, valid=right_valid)
         sel, found = ht_probe(table, left_fk)
+        # A non-converged build has silently dropped keys; force a visibly
+        # empty result instead of partially-wrong matches (the reference
+        # asserts the equivalent, hash_build.c:31).
+        found = found & table.ok
     elif impl == "sort":
         pk = right_pk.astype(jnp.uint32)
         if right_valid is not None:

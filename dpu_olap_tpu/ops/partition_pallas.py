@@ -36,23 +36,13 @@ from .filter_pallas import (
     _row_iota,
     run_butterfly,
 )
+from .hashing import wang_hash
 
 DEF_R = 256  # rows per block (32Ki elements)
 WCHUNK = 32  # rows per write DMA chunk (16KB)
 # Landing-strip rows: one WCHUNK so the working planes are chunk-aligned and
 # the chunked writes can cover the worst case (full-bucket block + phase).
 SKEW = WCHUNK
-
-
-def _wang_hash_k(key):
-    key = key.astype(jnp.uint32)
-    key = key + ~(key << 15)
-    key = key ^ (key >> 10)
-    key = key + (key << 3)
-    key = key ^ (key >> 6)
-    key = key + ~(key << 11)
-    key = key ^ (key >> 16)
-    return key
 
 
 def _partition_kernel(
@@ -89,7 +79,10 @@ def _partition_kernel(
 
     blk = x_ref[:]
     pays = [p[:] for p in pay_in]
-    bucket = (_wang_hash_k(blk) >> jnp.uint32(shift)).astype(jnp.int32)
+    # wang_hash is the single shared implementation (ops/hashing.py): the
+    # shuffle bucket here MUST stay bit-identical to the XLA-path bucket or
+    # co-partitioning of the two join sides silently breaks.
+    bucket = (wang_hash(blk) >> jnp.uint32(shift)).astype(jnp.int32)
     flat = _row_iota((r, LANES)) * LANES + _lane_iota((r, LANES))
     # global row index of each element = selection indices payload
     sel = (flat + i * (r * LANES)).astype(jnp.uint32)
@@ -99,7 +92,10 @@ def _partition_kernel(
     for p in range(p_parts):
         mask = (bucket == p).astype(jnp.int32)
         cnt = jnp.sum(mask)
-        off = offs[p]
+        # Clamp the append offset to the cell bound: once a cell overflows
+        # (flag set below) later blocks must not DMA past the allocated
+        # region — out-of-bounds DMA behavior on hardware is undefined.
+        off = jnp.minimum(offs[p], cell_rows * LANES)
         phase = jax.lax.rem(off, LANES)
         row0 = jax.lax.div(off, LANES)
 

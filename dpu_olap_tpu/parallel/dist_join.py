@@ -67,6 +67,9 @@ def dist_join_spmd(
     return fk, lcols, rcols, matched, overflow
 
 
+_FN_CACHE: dict = {}
+
+
 def dist_join(
     ds: DeviceSet,
     left_fk,
@@ -90,15 +93,26 @@ def dist_join(
     cell_left = cell_left or default_cell_size(n_left_local, n_dev, slack)
     cell_right = cell_right or default_cell_size(n_right_local, n_dev, slack)
 
-    def body(lf, lps, rk, rps):
-        return dist_join_spmd(
-            lf, lps, rk, rps, n_dev, cell_left, cell_right, impl=impl
-        )
-
-    sharded = P(AXIS)
-    fn = ds.shard_fn(
-        body,
-        in_specs=(sharded, sharded, sharded, sharded),
-        out_specs=(sharded, sharded, sharded, sharded, P(AXIS)),
+    # Memoize the wrapped SPMD program: a fresh closure per call would
+    # defeat jax.jit's cache and re-trace (and, through the tunnel,
+    # potentially re-compile) the whole shuffle+join on every invocation.
+    key = (
+        id(ds.mesh), n_dev, cell_left, cell_right, impl,
+        len(left_payloads), len(right_payloads),
     )
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+
+        def body(lf, lps, rk, rps):
+            return dist_join_spmd(
+                lf, lps, rk, rps, n_dev, cell_left, cell_right, impl=impl
+            )
+
+        sharded = P(AXIS)
+        fn = ds.shard_fn(
+            body,
+            in_specs=(sharded, sharded, sharded, sharded),
+            out_specs=(sharded, sharded, sharded, sharded, P(AXIS)),
+        )
+        _FN_CACHE[key] = fn
     return fn(left_fk, left_payloads, right_pk, right_payloads)

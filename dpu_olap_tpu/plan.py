@@ -33,11 +33,13 @@ class Node:
     def execute(self, ds: DeviceSet) -> Table:
         raise NotImplementedError
 
-    # result cache so diamond-shaped plans execute each node once
+    # result cache so diamond-shaped plans execute each node once per mesh
     def _run(self, ds) -> Table:
-        if not hasattr(self, "_cached"):
-            self._cached = self.execute(ds)
-        return self._cached
+        cache = self.__dict__.setdefault("_cached", {})
+        key = id(ds)
+        if key not in cache:
+            cache[key] = self.execute(ds)
+        return cache[key]
 
 
 @dataclasses.dataclass
