@@ -131,10 +131,25 @@ def filter_with_indices(
     Returns (padded_values, padded_indices, count); padded index lanes are n.
     """
     impl = impl or FLAGS.filter_impl
-    # No Pallas selection-index kernel yet: "auto"/"pallas" run the scatter
-    # path here (unlike filter_compact). Unknown impls are rejected.
-    if impl in ("auto", "pallas"):
-        impl = "scatter"
+    if impl == "auto":
+        impl = "pallas" if (predicate is default_predicate and _on_tpu()) else "scatter"
+    if impl == "pallas":
+        from .filter_pallas import DEF_R, LANES, filter_with_indices_pallas
+
+        if predicate is not default_predicate:
+            raise ValueError("pallas filter supports the threshold predicate only")
+        n = values.shape[0]
+        pad = (-n) % (DEF_R * LANES)
+        x = values
+        if pad:
+            x = jnp.concatenate([values, jnp.full((pad,), 0xFFFFFFFF, values.dtype)])
+        vals, idxs, count = filter_with_indices_pallas(x)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+        return (
+            jnp.where(lane < count, vals[:n], 0),
+            jnp.where(lane < count, idxs[:n], n),
+            count,
+        )
     if impl not in ("scatter", "sort"):
         raise ValueError(f"unknown filter impl {impl!r}")
     n = values.shape[0]

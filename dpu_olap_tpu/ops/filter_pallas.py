@@ -114,8 +114,19 @@ def run_butterfly(work_planes, work_d, wrows):
         s *= 2
 
 
-def _filter_kernel(threshold, x_ref, out_ref, count_ref, work_v, work_d,
-                   rowbuf, off_ref, sem):
+def _filter_kernel(threshold, with_indices, x_ref, *refs):
+    # refs: outputs (out, [sel_out], count), scratch (work_v, [work_s],
+    # work_d, rowbuf, [rowbuf_s], off_ref, sem)
+    n_out = 2 if with_indices else 1
+    outs = list(refs[:n_out])
+    count_ref = refs[n_out]
+    sc = list(refs[n_out + 1 :])
+    works = sc[:n_out]
+    work_d = sc[n_out]
+    rowbufs = sc[n_out + 1 : 2 * n_out + 1]
+    off_ref = sc[2 * n_out + 1]
+    sem = sc[2 * n_out + 2]
+
     i = pl.program_id(0)
     r = x_ref.shape[0]
     wrows = r + SKEW
@@ -139,25 +150,29 @@ def _filter_kernel(threshold, x_ref, out_ref, count_ref, work_v, work_d,
     d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), -1)
 
     # lay into working planes (rows 0..SKEW-1 = empty landing strip)
-    work_v[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
+    planes = [blk]
+    if with_indices:
+        planes.append((flat + i * (r * LANES)).astype(jnp.uint32))
+    for w, p in zip(works, planes):
+        w[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
+        w[pl.ds(SKEW, r)] = p
     work_d[pl.ds(0, SKEW)] = jnp.full((SKEW, LANES), -1, jnp.int32)
-    work_v[pl.ds(SKEW, r)] = blk
     work_d[pl.ds(SKEW, r)] = d_blk
 
-    run_butterfly([work_v], work_d, wrows)
+    run_butterfly(works, work_d, wrows)
 
     # merge the shared partial row with what the previous block wrote
-    read = pltpu.make_async_copy(out_ref.at[pl.ds(row0, 1)], rowbuf, sem)
-    read.start()
-    read.wait()
     lane1 = _lane_iota((1, LANES))
-    first = jnp.where(lane1 < phase, rowbuf[:], work_v[pl.ds(0, 1)])
-    work_v[pl.ds(0, 1)] = first
+    for w, o, rb in zip(works, outs, rowbufs):
+        read = pltpu.make_async_copy(o.at[pl.ds(row0, 1)], rb, sem)
+        read.start()
+        read.wait()
+        w[pl.ds(0, 1)] = jnp.where(lane1 < phase, rb[:], w[pl.ds(0, 1)])
 
-    # append: whole-row DMA; garbage tail is overwritten by the next block
-    write = pltpu.make_async_copy(work_v, out_ref.at[pl.ds(row0, wrows)], sem)
-    write.start()
-    write.wait()
+        # append: whole-row DMA; garbage tail is overwritten by the next block
+        write = pltpu.make_async_copy(w, o.at[pl.ds(row0, wrows)], sem)
+        write.start()
+        write.wait()
 
     off_ref[0] = offset + cnt
 
@@ -190,7 +205,7 @@ def filter_compact_pallas(
     x = values.reshape(nrows, LANES)
 
     out, count = pl.pallas_call(
-        functools.partial(_filter_kernel, int(threshold)),
+        functools.partial(_filter_kernel, int(threshold), False),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -216,6 +231,65 @@ def filter_compact_pallas(
         interpret=interpret,
     )(x)
     return out[:nrows].reshape(n), count[0].astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "block_rows", "interpret"))
+def filter_with_indices_pallas(
+    values: jnp.ndarray,
+    threshold=None,
+    block_rows: int = DEF_R,
+    interpret: bool = False,
+):
+    """Selection-vector variant: compacts values AND their original row
+    indices in the same pass (the indices ride the butterfly as a second
+    routed plane). Returns (padded_values, padded_indices, count); tails are
+    garbage — callers slice by count."""
+    from .filter import FILTER_THRESHOLD
+
+    if threshold is None:
+        threshold = FILTER_THRESHOLD
+    n = values.shape[0]
+    r = block_rows
+    assert n % (r * LANES) == 0, f"n={n} must be a multiple of {r * LANES}"
+    nrows = n // LANES
+    nblocks = nrows // r
+    x = values.reshape(nrows, LANES)
+
+    out, sel, count = pl.pallas_call(
+        functools.partial(_filter_kernel, int(threshold), True),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((nrows + r + SKEW, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nrows + r + SKEW, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r + SKEW, LANES), jnp.uint32),  # values plane
+            pltpu.VMEM((r + SKEW, LANES), jnp.uint32),  # index plane
+            pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # distances (<0 = hole)
+            pltpu.VMEM((1, LANES), jnp.uint32),
+            pltpu.VMEM((1, LANES), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x)
+    return (
+        out[:nrows].reshape(n),
+        sel[:nrows].reshape(n),
+        count[0].astype(jnp.uint32),
+    )
 
 
 def filter_compact_pallas_clean(values, threshold=None, interpret: bool = False):

@@ -84,6 +84,17 @@ def test_stability_preserves_order(rng):
     np.testing.assert_array_equal(out[:cnt], expect)  # exact order
 
 
+def test_with_indices_pallas(rng):
+    from dpu_olap_tpu.ops.filter_pallas import filter_with_indices_pallas
+
+    v = rng.integers(0, 2**32, 2 * BLK, dtype=np.uint32)
+    vals, idxs, cnt = filter_with_indices_pallas(jnp.asarray(v), interpret=True)
+    c = int(cnt)
+    mask = v < (1 << 30)
+    np.testing.assert_array_equal(np.asarray(idxs)[:c], np.flatnonzero(mask))
+    np.testing.assert_array_equal(np.asarray(vals)[:c], v[mask])
+
+
 def test_phase_crossings(rng):
     # counts that force every lane phase at block boundaries
     n = 4 * BLK
