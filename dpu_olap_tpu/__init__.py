@@ -23,3 +23,16 @@ __version__ = "0.1.0"
 
 from . import config  # noqa: F401
 from .columnar import Batch, Table  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy convenience exports (avoid importing jax-heavy modules eagerly).
+    if name == "DeviceSet":
+        from .parallel.mesh import DeviceSet
+
+        return DeviceSet
+    if name == "plan":
+        import importlib
+
+        return importlib.import_module(".plan", __name__)
+    raise AttributeError(name)

@@ -69,10 +69,9 @@ class Flags:
     ht_load_factor: float = 0.5
     use_radix_partitioning: bool = True
     shuffle_slack: float = 2.0
-    # Filter compaction algorithm: "auto" | "sort" | "scatter" | "pallas"
+    # Filter compaction algorithm: "auto" (pallas on TPU, scatter elsewhere)
+    # | "pallas" | "scatter" | "sort"
     filter_impl: str = "auto"
-    # Partition algorithm: "auto" | "sort" | "onehot"
-    partition_impl: str = "auto"
 
 
 FLAGS = Flags(

@@ -116,6 +116,27 @@ def main():
             op = TakeNative(data, idx).Prepare()
             record("take_native", bench_host(op.Run), items)
 
+    # hashtable micro (dpu/shared/hashtable/hashtable_test.{c,py} analog:
+    # 1Mi unique-key inserts + full probe)
+    if pat.search("hashtable"):
+        import jax.numpy as jnp
+
+        from dpu_olap_tpu.ops.hashtable import ht_build, ht_probe, table_capacity
+
+        n = 1 << 20
+        rng = np.random.default_rng(42)
+        keys = rng.permutation(np.uint32(4 * n))[:n].astype(np.uint32)
+        vals = rng.integers(0, 2**32, n, dtype=np.uint32)
+        kj, vj = jnp.asarray(keys), jnp.asarray(vals)
+        cap = table_capacity(n)
+
+        def run():
+            t = ht_build(kj, vj, cap)
+            got, found = ht_probe(t, kj)
+            np.asarray(found[:1])
+
+        record("hashtable_build_probe", bench_host(run), n)
+
     # join: SF batches x 2Mi per side (join_benchmark.cc:168-176)
     if pat.search("join_tpu") or pat.search("join_native"):
         nb = max(d, (sf // d) * d if sf >= d else d)
