@@ -41,10 +41,17 @@ def bucket_shift(nr_partitions: int) -> int:
 
 
 def radix_bucket(keys: jnp.ndarray, nr_partitions: int) -> jnp.ndarray:
-    """Partition id for each key: top bits of the Wang hash (uint32)."""
+    """Partition id for each key: top bits of the Wang hash (uint32), or
+    hash % nr_partitions when FLAGS.use_radix_partitioning is off (the
+    reference's USE_RADIX_PARTITIONING=0 fallback, partition.c:44-49)."""
     if nr_partitions == 1:
         return jnp.zeros(keys.shape, dtype=jnp.uint32)
-    return wang_hash(keys) >> np.uint32(bucket_shift(nr_partitions))
+    from ..config import FLAGS
+
+    h = wang_hash(keys)
+    if not FLAGS.use_radix_partitioning:
+        return h % np.uint32(nr_partitions)
+    return h >> np.uint32(bucket_shift(nr_partitions))
 
 
 def wang_hash_np(key: np.ndarray) -> np.ndarray:

@@ -49,3 +49,15 @@ def test_radix_bucket_range_and_balance(rng):
         counts = np.bincount(b, minlength=p)
         # Wang hash is well mixed: buckets within 20% of uniform at 64Ki keys.
         assert counts.min() > (1 << 16) / p * 0.8
+
+
+def test_modulo_partitioning_flag(rng):
+    from dpu_olap_tpu.config import FLAGS
+
+    keys = jnp.asarray(rng.integers(0, 2**32, size=4096, dtype=np.uint32))
+    FLAGS.use_radix_partitioning = False
+    try:
+        b = np.asarray(radix_bucket(keys, 6))  # modulo supports non-pow2
+        np.testing.assert_array_equal(b, wang_hash_np(np.asarray(keys)) % 6)
+    finally:
+        FLAGS.use_radix_partitioning = True
