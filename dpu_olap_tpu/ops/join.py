@@ -168,6 +168,62 @@ def join_shard_fused(
     return jnp.where(matched, sk, 0), out_l, out_r, matched
 
 
+@jax.jit
+def join_shard_merge(
+    left_fk: jnp.ndarray,
+    left_payload: Tuple[jnp.ndarray, ...],
+    right_pk: jnp.ndarray,
+    right_payload: Tuple[jnp.ndarray, ...],
+    left_valid: jnp.ndarray | None = None,
+    right_valid: jnp.ndarray | None = None,
+):
+    """Merge-join variant of join_shard_fused: sort each side separately
+    (skipping the build side when it is detected already sorted — clustered
+    PKs) and probe with the streaming merge kernel (ops/merge_pallas.py).
+    Two n-row sorts + a ~1-pass merge beat one (n_l+n_r)-row sort even when
+    both sorts run, and halve the cost when the pk side arrives sorted.
+
+    Output: one row per LEFT row in key-sorted order, padded with a
+    ``matched`` mask (same consumption contract as join_shard_fused).
+    TPU-only (the merge kernel); callers fall back to join_shard_fused
+    elsewhere.
+    """
+    from .merge_pallas import merge_probe_pallas
+
+    fk = left_fk.astype(jnp.uint32)
+    pk = right_pk.astype(jnp.uint32)
+    if left_valid is not None:
+        fk = jnp.where(left_valid, fk, EMPTY)
+    if right_valid is not None:
+        pk = jnp.where(right_valid, pk, EMPTY)
+
+    sorted_l = jax.lax.sort(
+        [fk] + [c.astype(jnp.uint32) for c in left_payload], num_keys=1
+    )
+    lk_s, lps_s = sorted_l[0], tuple(sorted_l[1:])
+
+    is_sorted = jnp.all(pk[1:] >= pk[:-1])
+
+    def keep(args):
+        return args
+
+    def dosort(args):
+        k, ps = args
+        out = jax.lax.sort([k, *ps], num_keys=1)
+        return out[0], tuple(out[1:])
+
+    rk_s, rps_s = jax.lax.cond(
+        is_sorted, keep, dosort,
+        (pk, tuple(c.astype(jnp.uint32) for c in right_payload)),
+    )
+
+    has, pkey, ppays = merge_probe_pallas(lk_s, rk_s, tuple(rps_s))
+    matched = has & (pkey == lk_s) & (lk_s != EMPTY)
+    out_r = tuple(jnp.where(matched, p, 0) for p in ppays)
+    out_l = tuple(jnp.where(matched, p, 0) for p in lps_s)
+    return jnp.where(matched, lk_s, 0), out_l, out_r, matched
+
+
 @partial(jax.jit, static_argnames=("impl",))
 def probe_indices(
     left_fk: jnp.ndarray,
