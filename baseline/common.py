@@ -50,3 +50,23 @@ def have_polars():
         return True
     except ImportError:
         return False
+
+
+def have_datafusion():
+    try:
+        import datafusion  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def datafusion_ctx_from_batches(name, batches):
+    """Register Arrow RecordBatches as a DataFusion table, returning the
+    SessionContext (reference baseline/join.py:31-37 registers record
+    batches the same way)."""
+    import datafusion
+
+    ctx = datafusion.SessionContext()
+    ctx.register_record_batches(name, [batches])
+    return ctx

@@ -8,11 +8,24 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# CPU baselines must not touch the (tunneled) TPU: generation and compute
+# stay host-side, like the reference baseline scripts.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from baseline.common import emit_csv, have_polars, measure, sf_sweep
+from baseline.common import (
+    datafusion_ctx_from_batches,
+    emit_csv,
+    have_datafusion,
+    have_polars,
+    measure,
+    sf_sweep,
+)
 from dpu_olap_tpu.generator import Generator
 
 
@@ -34,6 +47,18 @@ def run(sf: int, engine: str, batches=128, batch_size=1 << 16):
         def work():
             return len(s.filter(s < (1 << 30)))
 
+    elif engine == "datafusion":
+        # Reference baseline/filter.py registers batches and runs the SQL
+        # filter through DataFusion's engine.
+        rb = [
+            pa.RecordBatch.from_arrays([pa.array(c)], names=["a"]) for c in data
+        ]
+        ctx = datafusion_ctx_from_batches("t", rb)
+
+        def work():
+            res = ctx.sql(f"SELECT a FROM t WHERE a < {1 << 30}").collect()
+            return sum(b.num_rows for b in res)
+
     else:
         raise ValueError(engine)
     return measure(work)
@@ -41,7 +66,11 @@ def run(sf: int, engine: str, batches=128, batch_size=1 << 16):
 
 def main():
     rows = []
-    engines = ["arrow"] + (["polars"] if have_polars() else [])
+    engines = (
+        ["arrow"]
+        + (["polars"] if have_polars() else [])
+        + (["datafusion"] if have_datafusion() else [])
+    )
     for engine in engines:
         for sf in sf_sweep():
             n, real, cpu, rss = run(sf, engine)

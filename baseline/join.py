@@ -9,18 +9,52 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# CPU baselines must not touch the (tunneled) TPU: generation and compute
+# stay host-side, like the reference baseline scripts.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pyarrow as pa
 
-from baseline.common import emit_csv, measure, sf_sweep
+from baseline.common import (
+    emit_csv,
+    have_datafusion,
+    have_polars,
+    measure,
+    sf_sweep,
+)
 from dpu_olap_tpu.generator import make_join_tables
 
 
-def run(sf: int, partitioned: bool, batches=32, batch_size=1 << 16):
+def run(sf: int, partitioned: bool, batches=32, batch_size=1 << 16, engine="arrow"):
     left, right = make_join_tables(sf * batches, batch_size, batch_size)
     lt = pa.Table.from_batches([b.to_arrow() for b in left])
     rt = pa.Table.from_batches([b.to_arrow() for b in right])
 
-    if not partitioned:
+    if engine == "polars":
+        import polars as pl
+
+        lp, rp = pl.from_arrow(lt), pl.from_arrow(rt)
+
+        def work():
+            return lp.join(rp, left_on="fk", right_on="pk", how="inner").height
+
+    elif engine == "datafusion":
+        # Reference baseline/join.py:31-37: register both sides, SQL join.
+        import datafusion
+
+        ctx = datafusion.SessionContext()
+        ctx.register_record_batches("l", [[b.to_arrow() for b in left]])
+        ctx.register_record_batches("r", [[b.to_arrow() for b in right]])
+
+        def work():
+            res = ctx.sql(
+                "SELECT l.fk, l.y, r.x FROM l INNER JOIN r ON l.fk = r.pk"
+            ).collect()
+            return sum(b.num_rows for b in res)
+
+    elif not partitioned:
         def work():
             return lt.join(rt, keys="fk", right_keys="pk", join_type="inner").num_rows
     else:
@@ -46,12 +80,18 @@ def run(sf: int, partitioned: bool, batches=32, batch_size=1 << 16):
 
 def main():
     partitioned = os.environ.get("PARTITIONED", "0") == "1"
+    engines = (
+        ["arrow"]
+        + (["polars"] if have_polars() else [])
+        + (["datafusion"] if have_datafusion() else [])
+    )
     rows = []
-    for sf in sf_sweep():
-        n, real, cpu, rss = run(sf, partitioned)
-        rows.append(
-            ["arrow", sf, sf * 32, 1 << 16, n, f"{real:.3f}", f"{cpu:.3f}", rss]
-        )
+    for engine in engines:
+        for sf in sf_sweep():
+            n, real, cpu, rss = run(sf, partitioned, engine=engine)
+            rows.append(
+                [engine, sf, sf * 32, 1 << 16, n, f"{real:.3f}", f"{cpu:.3f}", rss]
+            )
     emit_csv(rows, ["engine", "sf", "batches", "batch_size", "rows", "real_ms", "cpu_ms", "rss_kib"])
 
 

@@ -7,6 +7,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# CPU baselines must not touch the (tunneled) TPU: generation and compute
+# stay host-side, like the reference baseline scripts.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pyarrow as pa
 import pyarrow.compute as pc
 

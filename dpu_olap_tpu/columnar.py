@@ -86,8 +86,17 @@ class Batch:
 
     @staticmethod
     def from_numpy(columns: Mapping[str, np.ndarray], device=None) -> "Batch":
-        put = (lambda a: jax.device_put(a, device)) if device is not None else jax.device_put
-        return Batch({n: put(np.ascontiguousarray(c)) for n, c in columns.items()})
+        """Wrap host columns. With device=None the columns stay HOST-resident
+        (numpy) — batches are the host-side Arrow data of the reference, and
+        operators move rounds to the device explicitly (the copy-to-dpu
+        step); jnp ops on them still auto-transfer for ad-hoc use. Pass a
+        device to eagerly place (e.g. tests pinning a mesh)."""
+        if device is not None:
+            return Batch(
+                {n: jax.device_put(np.ascontiguousarray(c), device)
+                 for n, c in columns.items()}
+            )
+        return Batch({n: np.ascontiguousarray(c) for n, c in columns.items()})
 
     def to_numpy(self) -> Dict[str, np.ndarray]:
         return {n: np.asarray(c) for n, c in self.columns.items()}

@@ -72,6 +72,12 @@ class Flags:
     # Filter compaction algorithm: "auto" (pallas on TPU, scatter elsewhere)
     # | "pallas" | "scatter" | "sort"
     filter_impl: str = "auto"
+    # Virtual-DPU round streaming (the reference's batch-round outer loop,
+    # filter_dpu.cc:127-156): max rows resident per dispatched round across
+    # all devices, and how many rounds may be in flight before the collector
+    # blocks (bounded pipelining; the reference bounds per-rank queues).
+    stream_round_rows: int = 64 << 20
+    stream_max_inflight: int = 2
 
 
 FLAGS = Flags(

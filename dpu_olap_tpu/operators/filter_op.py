@@ -29,6 +29,12 @@ from ..timer import Timers, timed
 
 
 class FilterTpu:
+    """Streaming filter: rounds of (devices x batches_per_round) batches flow
+    through one fixed-shape compiled program with bounded in-flight rounds —
+    the reference's virtual-DPU outer loop + async rank pipeline
+    (filter_dpu.cc:127-156). At SF where the whole workload would blow the
+    HBM budget, rounds keep residency at FLAGS.stream_round_rows."""
+
     def __init__(self, ds: DeviceSet, table: Table, column: str = "a"):
         self.ds = ds
         self.table = table
@@ -38,15 +44,17 @@ class FilterTpu:
 
     def Prepare(self):
         """Build the SPMD program (the binary-load analog, filter_dpu.cc:23-32)."""
+        from ..parallel.streaming import round_geometry
+
         d = self.ds.nr_devices
         b = len(self.table)
         assert b % d == 0, f"{b} batches not divisible by {d} devices"
-        self.round_batches = b // d
+        n = self.table[0].num_rows
+        self.rpr, self.n_rounds = round_geometry(b, d, n)
 
-        rb = self.round_batches
         from ..ops.filter import default_predicate
 
-        def per_device(x):  # x: (1, round_batches, n) — leading dim is the shard
+        def per_device(x):  # x: (1, rpr, n) — leading dim is the shard
             flat = x.reshape(-1)
             # Stable compaction of the concatenation == concatenation of the
             # per-batch compactions, so one kernel pass serves all batches;
@@ -61,26 +69,42 @@ class FilterTpu:
         return self
 
     def Run(self) -> List[np.ndarray]:
-        d = self.ds.nr_devices
+        from ..parallel.streaming import stream_rounds
+
+        d, rpr = self.ds.nr_devices, self.rpr
         n = self.table[0].num_rows
-        with timed(self.timers, "copy-to-device"):
-            host = np.stack([np.asarray(b[self.column]) for b in self.table])
-            stacked = host.reshape(d, self.round_batches, n)
-            dev = self.ds.scatter(stacked)
-        with timed(self.timers, "device-work"):
-            padded, counts = self._fn(dev)
-        with timed(self.timers, "copy-from-device"):
+        per_round = d * rpr
+
+        def stage(r):
+            # host staging: slice + stack this round's batches (background
+            # thread, overlapped with the previous round's device work)
+            rows = [
+                np.asarray(self.table[r * per_round + i][self.column])
+                for i in range(per_round)
+            ]
+            return np.stack(rows).reshape(d, rpr, n)
+
+        def dispatch(r, staged):
+            dev = self.ds.scatter(staged)
+            return self._fn(dev)  # async: returns before the TPU finishes
+
+        def collect(r, handle):
+            padded, counts = handle
             flat_h = np.asarray(padded).reshape(d, -1)
-            counts_h = np.asarray(counts).reshape(d, self.round_batches)
-        with timed(self.timers, "build-result"):
+            counts_h = np.asarray(counts).reshape(d, rpr)
             chunks = []
             for dev_i in range(d):
                 off = 0
-                for b in range(self.round_batches):
-                    c = int(counts_h[dev_i, b])
+                for bi in range(rpr):
+                    c = int(counts_h[dev_i, bi])
                     chunks.append(flat_h[dev_i, off : off + c])
                     off += c
-        return chunks
+            return chunks
+
+        round_chunks = stream_rounds(
+            self.n_rounds, stage, dispatch, collect, timers=self.timers
+        )
+        return [c for chunks in round_chunks for c in chunks]
 
     def Timers(self):
         return self.timers

@@ -80,6 +80,35 @@ def sum_u64(values: jnp.ndarray) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Floating-point (Double) variant
+# ---------------------------------------------------------------------------
+# The reference instantiates AggrNative<arrow::UInt64Array> AND
+# <arrow::DoubleArray> (host/aggr/aggr_native.cc:95-96). TPU v5e has no
+# native f64, so the float path is a two-level cascade: the device computes
+# per-block f32 partial sums (pairwise within a 2^13 block keeps the relative
+# error ~ log2(block)*eps ≈ 1e-6), and the (n/2^13,) partials are combined in
+# exact-ish f64 on the host — the same device-partials + host-total split as
+# the uint64 path (aggr_dpu.cc:82-84).
+
+_FBLOCK = 1 << 13
+
+
+@jax.jit
+def sum_f64_partials(values: jnp.ndarray) -> jnp.ndarray:
+    """Per-block f32 partial sums of a float column (device side)."""
+    v = values.astype(jnp.float32).reshape(-1)
+    pad = (-v.shape[0]) % _FBLOCK
+    v = jnp.pad(v, (0, pad))
+    return jnp.sum(v.reshape(-1, _FBLOCK), axis=1, dtype=jnp.float32)
+
+
+def sum_f64(values: jnp.ndarray) -> float:
+    """Double sum: device f32 block partials + host f64 combine."""
+    parts = np.asarray(sum_f64_partials(values), dtype=np.float64)
+    return float(parts.sum())
+
+
+# ---------------------------------------------------------------------------
 # Pluggable aggregators
 # ---------------------------------------------------------------------------
 # The reference's kernel_aggr takes an aggregator_fn_t fold function
@@ -101,6 +130,7 @@ def max_u32(values: jnp.ndarray) -> jnp.ndarray:
 
 AGGREGATORS = {
     "sum": lambda v: sum_u64(v),
+    "sum_double": lambda v: sum_f64(v),
     "min": lambda v: int(np.asarray(min_u32(v))),
     "max": lambda v: int(np.asarray(max_u32(v))),
     "count": lambda v: int(v.shape[0]),

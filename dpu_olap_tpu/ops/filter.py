@@ -117,7 +117,6 @@ def _filter_compact_xla(
     raise ValueError(f"unknown filter impl {impl!r}")
 
 
-@partial(jax.jit, static_argnames=("predicate", "impl"))
 def filter_with_indices(
     values: jnp.ndarray,
     predicate: Callable = default_predicate,
@@ -129,29 +128,47 @@ def filter_with_indices(
     selection index vectors in the partition kernel for exactly this purpose
     (partition.c: selection_indices_vector).
     Returns (padded_values, padded_indices, count); padded index lanes are n.
+
+    impl/platform resolve per call in this unjitted wrapper (like
+    filter_compact) so FLAGS.filter_impl changes take effect immediately;
+    only the impl-specific inner functions are jitted.
     """
     impl = impl or FLAGS.filter_impl
     if impl == "auto":
         impl = "pallas" if (predicate is default_predicate and _on_tpu()) else "scatter"
     if impl == "pallas":
-        from .filter_pallas import DEF_R, LANES, filter_with_indices_pallas
-
         if predicate is not default_predicate:
             raise ValueError("pallas filter supports the threshold predicate only")
-        n = values.shape[0]
-        pad = (-n) % (DEF_R * LANES)
-        x = values
-        if pad:
-            x = jnp.concatenate([values, jnp.full((pad,), 0xFFFFFFFF, values.dtype)])
-        vals, idxs, count = filter_with_indices_pallas(x)
-        lane = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
-        return (
-            jnp.where(lane < count, vals[:n], 0),
-            jnp.where(lane < count, idxs[:n], n),
-            count,
-        )
+        return _filter_with_indices_pallas_padded(values)
     if impl not in ("scatter", "sort"):
         raise ValueError(f"unknown filter impl {impl!r}")
+    return _filter_with_indices_xla(values, predicate, impl)
+
+
+@jax.jit
+def _filter_with_indices_pallas_padded(values: jnp.ndarray):
+    from .filter_pallas import DEF_R, LANES, filter_with_indices_pallas
+
+    n = values.shape[0]
+    pad = (-n) % (DEF_R * LANES)
+    x = values
+    if pad:
+        x = jnp.concatenate([values, jnp.full((pad,), 0xFFFFFFFF, values.dtype)])
+    vals, idxs, count = filter_with_indices_pallas(x)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    return (
+        jnp.where(lane < count, vals[:n], 0),
+        jnp.where(lane < count, idxs[:n], n),
+        count,
+    )
+
+
+@partial(jax.jit, static_argnames=("predicate", "impl"))
+def _filter_with_indices_xla(
+    values: jnp.ndarray,
+    predicate: Callable = default_predicate,
+    impl: str = "scatter",
+):
     n = values.shape[0]
     mask = predicate(values)
     iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)

@@ -215,7 +215,7 @@ def filter_compact_pallas(
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -267,8 +267,8 @@ def filter_with_indices_pallas(
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[

@@ -43,40 +43,54 @@ from .hashtable import EMPTY, ht_build, ht_probe, table_capacity
 from .take import take
 
 
-def _last_alive_scan(alive, arrays):
-    """Forward-propagate the most recent element where ``alive`` across each
-    array in ``arrays``. Returns (has, filled): has[q] marks that some alive
-    q' <= q exists (filled lanes are meaningless where not).
+def _check_32bit_payloads(*payload_tuples):
+    """The fused/merge joins carry payloads as uint32 sort operands; 64-bit or
+    float payloads would be silently truncated by astype. Same-width integer
+    converts round-trip exactly, so {u,}int32 are fine — anything else must
+    fail loudly (the XLA join_shard path preserves dtypes instead)."""
+    for cols in payload_tuples:
+        for c in cols:
+            if c.dtype.itemsize != 4 or not jnp.issubdtype(c.dtype, jnp.integer):
+                raise TypeError(
+                    f"fused join payloads must be 32-bit integers, got {c.dtype}; "
+                    "use join_shard(impl=...) for other payload dtypes"
+                )
 
-    On TPU this is the Pallas segment-propagate kernel (ops/scan_pallas.py) —
-    a single HBM pass; the associative_scan fallback is used on CPU where the
-    generic lowering is fine (the TPU compiler chokes on it at Mi-scale).
+
+def _fill_forward(planes):
+    """Forward-fill all planes from the most recent position where plane 0
+    != EMPTY (plane 0 carries the sentinel; pairs move together). Returns the
+    filled tuple; has = filled[0] != EMPTY.
+
+    On TPU this is the two-level Pallas fill kernel (scan_pallas.propagate_
+    fill) — measured ~3x the generic alive-plane propagate it replaces and
+    one fewer plane of traffic; the associative_scan fallback serves CPU
+    (the TPU lowering of associative_scan compile-hangs at Mi-scale).
     """
     from .filter import _on_tpu
 
+    planes = tuple(p.astype(jnp.uint32) for p in planes)
     if _on_tpu():
-        from .scan_pallas import DEF_R, LANES, propagate_last
+        from .scan_pallas import DEF_R, LANES, propagate_fill
 
-        n = alive.shape[0]
-        blk = DEF_R * LANES
+        n = planes[0].shape[0]
+        blk = 2 * DEF_R * LANES
         pad = (-n) % blk
-        a = alive.astype(jnp.int32)
-        arrs = tuple(arrays)
         if pad:
-            a = jnp.concatenate([a, jnp.zeros((pad,), jnp.int32)])
-            arrs = tuple(
-                jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) for x in arrs
+            planes = tuple(
+                jnp.concatenate(
+                    [p, jnp.full((pad,), EMPTY if i == 0 else 0, jnp.uint32)]
+                )
+                for i, p in enumerate(planes)
             )
-        has, filled = propagate_last(a, arrs)
-        return has[:n], tuple(f[:n] for f in filled)
+        filled = propagate_fill(planes)
+        return tuple(f[:n] for f in filled)
 
     def combine(a, b):
-        take = b[0] > 0
+        take = b[0] != EMPTY
         return tuple(jnp.where(take, bx, ax) for ax, bx in zip(a, b))
 
-    init = (alive.astype(jnp.int32),) + tuple(arrays)
-    out = jax.lax.associative_scan(combine, init)
-    return out[0] > 0, out[1:]
+    return jax.lax.associative_scan(combine, planes)
 
 
 def _cosort_probe(left_fk, right_pk, right_valid, left_valid):
@@ -99,10 +113,8 @@ def _cosort_probe(left_fk, right_pk, right_valid, left_valid):
     )
     sk, sside, srow = jax.lax.sort([keys, side, rowid], num_keys=2)
     is_pk = sside == 0
-    has, (prow, pkey) = _last_alive_scan(
-        is_pk,
-        (jnp.where(is_pk, srow, 0), jnp.where(is_pk, sk, EMPTY)),
-    )
+    pkey, prow = _fill_forward((jnp.where(is_pk, sk, EMPTY), srow))
+    has = pkey != jnp.uint32(EMPTY)
     found_sorted = has & (pkey == sk) & (sside == 1) & (sk != EMPTY)
     # restore probe-side order: sort by original left row (pk rows to the end)
     left_pos = jnp.where(sside == 1, srow, jnp.uint32(n_l))
@@ -130,6 +142,7 @@ def join_shard_fused(
 
     Returns (fk, left_cols, right_cols, matched), each of length n_l + n_r.
     """
+    _check_32bit_payloads(left_payload, right_payload)
     n_r, n_l = right_pk.shape[0], left_fk.shape[0]
     m_l, m_r = len(left_payload), len(right_payload)
     pk = right_pk.astype(jnp.uint32)
@@ -156,12 +169,13 @@ def join_shard_fused(
     sk, sside = sorted_all[0], sorted_all[1]
     smerged = sorted_all[2:]
     is_pk = sside == 0
-    has, propagated = _last_alive_scan(
-        is_pk,
-        (jnp.where(is_pk, sk, EMPTY),)
-        + tuple(jnp.where(is_pk, c, 0) for c in smerged[:m_r]),
+    # Payload planes need no pre-masking: the fill kernel moves (key, pay)
+    # pairs together, so a dead lane's original payload never propagates.
+    propagated = _fill_forward(
+        (jnp.where(is_pk, sk, EMPTY),) + tuple(smerged[:m_r])
     )
     pkey, prcols = propagated[0], propagated[1:]
+    has = pkey != jnp.uint32(EMPTY)
     matched = has & (pkey == sk) & (sside == 1) & (sk != EMPTY)
     out_l = tuple(jnp.where(matched, smerged[k], 0) for k in range(m_l))
     out_r = tuple(jnp.where(matched, c, 0) for c in prcols)
@@ -190,6 +204,7 @@ def join_shard_merge(
     """
     from .merge_pallas import merge_probe_pallas
 
+    _check_32bit_payloads(left_payload, right_payload)
     fk = left_fk.astype(jnp.uint32)
     pk = right_pk.astype(jnp.uint32)
     if left_valid is not None:

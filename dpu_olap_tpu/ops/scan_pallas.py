@@ -98,6 +98,126 @@ def _propagate_kernel(n_vals, alive_ref, *refs):
         carry[1 + k] = v[r - 1, LANES - 1].astype(jnp.int32)
 
 
+def _propagate_fill_kernel(n_vals, sentinel, *refs):
+    # refs = (*val_in, *val_out, carry_smem); plane 0 is the key plane whose
+    # != sentinel marks alive positions.
+    val_in = refs[:n_vals]
+    val_out = refs[n_vals : 2 * n_vals]
+    carry = refs[2 * n_vals]  # SMEM (n_vals,) int32
+
+    i = pl.program_id(0)
+    r = val_in[0].shape[0]
+    snt = jnp.uint32(sentinel)
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(n_vals):
+            carry[j] = jnp.uint32(sentinel).astype(jnp.int32)
+
+    k = val_in[0][:]
+    pays = [v[:] for v in val_in[1:]]
+    lane = _lane_iota((r, LANES))
+
+    # Level 1 — within-row forward fill (7 Hillis-Steele lane steps). A
+    # position whose key is still sentinel takes the (key, payloads) pair
+    # from distance s in the same step, so filled pairs stay consistent;
+    # pay lanes under a still-sentinel key may hold garbage (masked later).
+    s = 1
+    while s < LANES:
+        cand_k = jnp.where(lane >= s, pltpu.roll(k, s, 1), snt)
+        cand_p = [pltpu.roll(p, s, 1) for p in pays]
+        take = k == snt
+        k = jnp.where(take, cand_k, k)
+        pays = [jnp.where(take, cp, p) for cp, p in zip(cand_p, pays)]
+        s *= 2
+
+    # Level 2 — row carries: lane 127 now holds each row's last filled pair
+    # (or sentinel). Forward-fill the (R,1) carry columns over sublanes —
+    # 1/128 of the data, log2(R) steps.
+    ck = k[:, LANES - 1 :]
+    cp = [p[:, LANES - 1 :] for p in pays]
+    row = _row_iota((r, 1))
+    s = 1
+    while s < r:
+        cand_k = jnp.where(row >= s, pltpu.roll(ck, s, 0), snt)
+        cand_p = [pltpu.roll(p, s, 0) for p in cp]
+        take = ck == snt
+        ck = jnp.where(take, cand_k, ck)
+        cp = [jnp.where(take, x, p) for x, p in zip(cand_p, cp)]
+        s *= 2
+
+    # prev-row carry; wherever the intra-block predecessor rows carry
+    # nothing (prev still sentinel — row 0 and any all-dead prefix), fall
+    # back to the cross-block SMEM carry. Same-width integer converts are
+    # bit-exact (scalar bitcast is not lowerable in Mosaic).
+    prev_k = pltpu.roll(ck, 1, 0)
+    prev_p = [pltpu.roll(p, 1, 0) for p in cp]
+    prev_dead = (row == 0) | (prev_k == snt)
+    prev_k = jnp.where(prev_dead, carry[0].astype(jnp.uint32), prev_k)
+    prev_p = [
+        jnp.where(prev_dead, carry[1 + j].astype(jnp.uint32), p)
+        for j, p in enumerate(prev_p)
+    ]
+
+    # Splice: lanes before a row's first alive position are exactly those
+    # still at sentinel after level 1.
+    take0 = k == snt
+    out_k = jnp.where(take0, prev_k, k)
+    out_p = [jnp.where(take0, pp, p) for pp, p in zip(prev_p, pays)]
+
+    val_out[0][:] = out_k
+    for o, v in zip(val_out[1:], out_p):
+        o[:] = v
+
+    carry[0] = out_k[r - 1, LANES - 1].astype(jnp.int32)
+    for j, v in enumerate(out_p):
+        carry[1 + j] = v[r - 1, LANES - 1].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel", "block_rows", "interpret"))
+def propagate_fill(
+    values: tuple,
+    sentinel: int = 0xFFFFFFFF,
+    block_rows: int = 2 * DEF_R,
+    interpret: bool = False,
+):
+    """Forward-fill ``values`` from the most recent position where
+    values[0] != sentinel (values[0] is the key plane; its sentinel lanes
+    mark dead positions). Returns the filled tuple; has = filled[0] !=
+    sentinel. ~3x the generic propagate_last: two-level fill (7 lane steps +
+    log2(R) sublane steps on 1/128 of the data) instead of log2(block) full
+    Hillis-Steele levels, and no separate alive plane.
+
+    All planes uint32, same length, n a multiple of block_rows*128.
+    """
+    n = values[0].shape[0]
+    r = block_rows
+    assert n % (r * LANES) == 0, f"n={n} not a multiple of {r * LANES}"
+    nrows = n // LANES
+    nblocks = nrows // r
+    n_vals = len(values)
+    v2 = [v.reshape(nrows, LANES) for v in values]
+
+    blocked = lambda: pl.BlockSpec(
+        (r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_propagate_fill_kernel, n_vals, int(sentinel)),
+        grid=(nblocks,),
+        in_specs=[blocked() for _ in range(n_vals)],
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32) for _ in v2
+        ),
+        out_specs=tuple(blocked() for _ in range(n_vals)),
+        scratch_shapes=[pltpu.SMEM((n_vals,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: SMEM carry
+        ),
+        interpret=interpret,
+    )(*v2)
+    return tuple(o.reshape(n) for o in out)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def propagate_last(
     alive: jnp.ndarray,

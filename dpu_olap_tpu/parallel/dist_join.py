@@ -67,7 +67,12 @@ def dist_join_spmd(
     return fk, lcols, rcols, matched, overflow
 
 
-_FN_CACHE: dict = {}
+# Keyed on the Mesh OBJECT (held via WeakKeyDictionary, so a GC'd mesh drops
+# its entry instead of letting a recycled id() alias a dead mesh) -> dict of
+# per-shape compiled fns.
+import weakref
+
+_FN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def dist_join(
@@ -96,11 +101,12 @@ def dist_join(
     # Memoize the wrapped SPMD program: a fresh closure per call would
     # defeat jax.jit's cache and re-trace (and, through the tunnel,
     # potentially re-compile) the whole shuffle+join on every invocation.
+    per_mesh = _FN_CACHE.setdefault(ds.mesh, {})
     key = (
-        id(ds.mesh), n_dev, cell_left, cell_right, impl,
+        n_dev, cell_left, cell_right, impl,
         len(left_payloads), len(right_payloads),
     )
-    fn = _FN_CACHE.get(key)
+    fn = per_mesh.get(key)
     if fn is None:
 
         def body(lf, lps, rk, rps):
@@ -114,5 +120,5 @@ def dist_join(
             in_specs=(sharded, sharded, sharded, sharded),
             out_specs=(sharded, sharded, sharded, sharded, P(AXIS)),
         )
-        _FN_CACHE[key] = fn
+        per_mesh[key] = fn
     return fn(left_fk, left_payloads, right_pk, right_payloads)

@@ -86,11 +86,17 @@ def local_fragments(
     # TPU fast path: the fused Pallas cells kernel (one HBM pass) — ~15x the
     # sort-based path. Padded lanes are unspecified there (consumers mask by
     # counts); the XLA path below EMPTY-pads them.
+    from ..config import FLAGS
     from ..ops.filter import _on_tpu
 
+    # The Pallas kernel computes the radix-shift bucket; with modulo
+    # partitioning selected (FLAGS.use_radix_partitioning=False) taking the
+    # fast path would bucket shard-size-dependently differently from the XLA
+    # fallback and silently drop join matches — the flag gates eligibility.
     n = keys.shape[0]
     if (
         _on_tpu()
+        and FLAGS.use_radix_partitioning
         and 2 <= nr_partitions <= 16
         and nr_partitions & (nr_partitions - 1) == 0
         and n % (256 * LANES_) == 0

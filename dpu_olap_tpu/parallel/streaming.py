@@ -1,0 +1,90 @@
+"""Bounded round-streaming pipeline ("virtual DPU" outer loop).
+
+Reference: the batch-round loops of host/filter/filter_dpu.cc:127-156 and
+host/take/take_dpu.cc:62-91 — when #batches > NR_DPUS, rounds of NR_DPUS
+batches stream through fixed device buffers, with per-rank async callback
+chains overlapping copy-in / exec / copy-out (dpuext.hpp:859-899).
+
+TPU-native restatement:
+  * host staging (np.stack of the round's batches) runs on a background
+    thread one round ahead of the device — the copy/compute overlap the
+    reference builds from rank callbacks;
+  * device dispatch is JAX-async (the call returns before the TPU finishes),
+    so successive rounds queue back-to-back on the device stream;
+  * results are collected in order, and at most ``max_inflight`` dispatched
+    rounds may be outstanding before the collector blocks — bounding device
+    memory exactly like the reference bounds its per-rank job queues
+    (nrJobsPerRank, join_benchmark.cc:148).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, List
+
+from ..config import FLAGS
+from ..timer import timed
+
+
+def stream_rounds(
+    n_rounds: int,
+    stage: Callable[[int], object],
+    dispatch: Callable[[int, object], object],
+    collect: Callable[[int, object], object],
+    max_inflight: int | None = None,
+    timers=None,
+) -> List[object]:
+    """Run ``n_rounds`` of stage -> dispatch -> collect with staging
+    prefetched one round ahead and at most max_inflight dispatched rounds
+    outstanding. Returns [collect(r, ...) for r in rounds] in order.
+
+    stage(r)            host-side preparation (background thread; must not
+                        touch JAX state that is not thread-safe)
+    dispatch(r, staged) enqueue device work, return a (async) handle
+    collect(r, handle)  materialize the round's result (blocks on device)
+    """
+    if max_inflight is None:
+        max_inflight = FLAGS.stream_max_inflight
+    results: List[object] = []
+    pending: List[tuple] = []
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        nxt = pool.submit(stage, 0)
+        for r in range(n_rounds):
+            staged = nxt.result()
+            if r + 1 < n_rounds:
+                nxt = pool.submit(stage, r + 1)
+            with timed(timers, "dispatch", r):
+                pending.append((r, dispatch(r, staged)))
+            while len(pending) > max_inflight:
+                rr, h = pending.pop(0)
+                with timed(timers, "collect", rr):
+                    results.append(collect(rr, h))
+        for rr, h in pending:
+            with timed(timers, "collect", rr):
+                results.append(collect(rr, h))
+    return results
+
+
+def round_geometry(
+    n_batches: int, n_devices: int, rows_per_batch: int,
+    round_rows: int | None = None,
+) -> tuple[int, int]:
+    """Choose (batches_per_device_per_round, n_rounds) such that one round
+    holds at most ``round_rows`` rows device-resident (FLAGS.stream_round_rows
+    default) — the TPU sizing analog of the reference's fixed MRAM buffers
+    (8Mi items, dpu/filter/main.c:20).
+
+    n_batches must be a multiple of n_devices (the reference asserts
+    batches % nr_dpus == 0, filter_dpu.cc:127).
+    """
+    if round_rows is None:
+        round_rows = FLAGS.stream_round_rows
+    assert n_batches % n_devices == 0
+    per_dev = n_batches // n_devices
+    max_rpr = max(1, round_rows // (n_devices * rows_per_batch))
+    rpr = min(per_dev, max_rpr)
+    # prefer an even division to keep one compiled program shape
+    while per_dev % rpr:
+        rpr -= 1
+    return rpr, per_dev // rpr

@@ -137,6 +137,56 @@ def main():
 
         record("hashtable_build_probe", bench_host(run), n)
 
+    # partition: SF*d batches x 64Ki, P = batches partitions — the reference
+    # registers partition_benchmark.cc (DISABLED there because the standalone
+    # op is broken; functional here, so it runs)
+    if pat.search("partition_tpu"):
+        from dpu_olap_tpu.operators import PartitionTpu
+
+        nb = max(d, (sf // d) * d if sf >= d else d) * 4
+        table = make_filter_batches(nb, 1 << 16)
+        items = table.num_rows
+        op = PartitionTpu(ds, table, "a", nb).Prepare()
+        record("partition_tpu", bench_host(op.Run), items)
+
+    # partition kernel micro: single-shard fused cells kernel (the device
+    # path the shuffle uses; partition.c roofline anchor)
+    if pat.search("partition_kernel"):
+        import jax
+        import jax.numpy as jnp
+
+        from dpu_olap_tpu.ops.partition_pallas import partition_cells_pallas
+        from dpu_olap_tpu.ops.filter import _on_tpu
+
+        n = sf * (1 << 21)
+        rng = np.random.default_rng(42)
+        keys = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+        pay = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+        cell = -(-int(n / 8 * 2) // 128) * 128
+        interp = not _on_tpu()
+
+        def run():
+            out = partition_cells_pallas(keys, (pay,), 8, cell, interpret=interp)
+            jax.block_until_ready(out)
+
+        record("partition_kernel_p8", bench_host(run), n)
+
+    # native-runtime micro suite (memcpy_benchmark.cc analog)
+    if pat.search("memcpy"):
+        from dpu_olap_tpu import native
+
+        if native.available():
+            nbytes = (2 << 20) * 4  # 2Mi ints, the reference's largest shape
+            src = np.random.default_rng(0).integers(
+                0, 2**32, nbytes // 4, dtype=np.uint32
+            )
+            dst = np.empty_like(src)
+            for threads in (2, 4, 8, 16):
+                sec = bench_host(
+                    lambda t=threads: native.parallel_memcpy(dst, src, nthreads=t)
+                )
+                record(f"parallel_memcpy_t{threads}", sec, nbytes // 4)
+
     # join: SF batches x 2Mi per side (join_benchmark.cc:168-176)
     if pat.search("join_tpu") or pat.search("join_native"):
         nb = max(d, (sf // d) * d if sf >= d else d)

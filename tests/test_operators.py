@@ -41,7 +41,7 @@ def test_filter_operator_differential(ds):
     # phase timers exist (device-work recorded)
     op = FilterTpu(ds, table).Prepare()
     op.Run()
-    assert op.Timers().sum_ns("device-work") > 0
+    assert op.Timers().sum_ns("dispatch") > 0  # streaming-round phase timers
 
 
 def test_take_operator_differential(ds):

@@ -58,3 +58,26 @@ def test_propagate_value_msb_preserved():
     v[7] = 0xDEADBEEF
     has, (o,) = propagate_last(jnp.asarray(alive), (jnp.asarray(v),), interpret=True)
     assert np.asarray(o)[-1] == 0xDEADBEEF
+
+
+def test_propagate_fill_vs_numpy(rng):
+    from dpu_olap_tpu.ops.scan_pallas import propagate_fill
+
+    EMPTY = 0xFFFFFFFF
+    n = 2 * 512 * 128
+    for p_alive in (0.5, 0.002, 0.0, 1.0):
+        alive = rng.random(n) < p_alive
+        key = np.where(alive, rng.integers(0, 2**31, n, dtype=np.uint32),
+                       np.uint32(EMPTY))
+        pay = rng.integers(0, 2**32, n, dtype=np.uint32)
+        fk, fp = propagate_fill(
+            (jnp.asarray(key), jnp.asarray(pay)), interpret=True
+        )
+        fk, fp = np.asarray(fk), np.asarray(fp)
+        last_idx = np.maximum.accumulate(np.where(alive, np.arange(n), -1))
+        hasm = last_idx >= 0
+        ek = np.full(n, EMPTY, np.uint32)
+        ek[hasm] = key[last_idx[hasm]]
+        np.testing.assert_array_equal(fk, ek)
+        np.testing.assert_array_equal(fp[hasm], pay[last_idx[hasm]])
+        assert np.all(fk[~hasm] == EMPTY)

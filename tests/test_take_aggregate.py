@@ -1,4 +1,5 @@
 import jax.numpy as jnp
+import pytest
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -45,3 +46,44 @@ def test_sum_pair_jit_composes(rng):
 def test_sum_all_max_values():
     v = np.full(1 << 18, 0xFFFFFFFF, dtype=np.uint32)
     assert sum_u64(jnp.asarray(v)) == int(v.astype(np.uint64).sum())
+
+
+def test_sum_double_vs_numpy(rng):
+    # Double instantiation parity (aggr_native.cc:95-96): float column summed
+    # via device f32 block partials + host f64 combine.
+    from dpu_olap_tpu.ops.aggregate import sum_f64
+
+    v = rng.random(1 << 18).astype(np.float32) * 1e3
+    got = sum_f64(jnp.asarray(v))
+    expect = float(v.astype(np.float64).sum())
+    assert abs(got - expect) <= abs(expect) * 1e-5
+
+
+def test_sum_double_operator(rng):
+    import pyarrow.compute as pc_
+
+    from dpu_olap_tpu.columnar import Table
+    from dpu_olap_tpu.operators import SumNative, SumTpu
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+
+    ds = DeviceSet.allocate()
+    cols = [
+        (rng.random(1 << 12).astype(np.float32) * 100.0)
+        for _ in range(ds.nr_devices)
+    ]
+    from dpu_olap_tpu.columnar import Batch
+    table = Table([Batch.from_numpy({"a": c}) for c in cols])
+    got = SumTpu(ds, table).Prepare().Run()
+    expect = SumNative(table).Prepare().Run()
+    assert isinstance(got, float) and isinstance(expect, float)
+    assert abs(got - expect) <= abs(expect) * 1e-5
+
+
+def test_fused_join_rejects_non32bit_payload(rng):
+    from dpu_olap_tpu.ops.join import join_shard_fused
+
+    fk = jnp.asarray(rng.integers(0, 100, 256, dtype=np.uint32))
+    pk = jnp.asarray(np.arange(256, dtype=np.uint32))
+    bad = jnp.asarray(rng.random(256).astype(np.float32))
+    with pytest.raises(TypeError, match="32-bit"):
+        join_shard_fused(fk, (bad,), pk, (pk,))
