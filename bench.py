@@ -43,7 +43,6 @@ def main():
     from dpu_olap_tpu.generator import make_join_tables, make_filter_batches
     from dpu_olap_tpu.ops.filter import filter_compact
     from dpu_olap_tpu.ops.aggregate import sum_u64_pair
-    from dpu_olap_tpu.ops.join import join_shard_fused
     from dpu_olap_tpu.ops.take import take
 
     sf = int(os.environ.get("SF", "1"))
@@ -53,13 +52,30 @@ def main():
     # ---- flagship: single-chip fused co-sort join -------------------------
     left, right = make_join_tables(1, rows, rows)
     lb, rb = left[0], right[0]
-    lf, ly = lb["fk"], lb["y"]
-    rk, rx = rb["pk"], rb["x"]
+    # Workload-structure detection on the host-resident columns (the
+    # operator's JoinTpu.Prepare does the same): keys31 packs side into the
+    # sort key; a sorted pk column selects the bitonic-merge join.
+    from dpu_olap_tpu.ops.join import join_shard_auto
+
+    lim = np.uint32(0x7FFFFFFF)
+    pk_h = np.asarray(rb["pk"])
+    keys31 = bool(
+        np.max(np.asarray(lb["fk"])) < lim and np.max(pk_h) < lim
+    )
+    pk_sorted = bool(np.all(pk_h[1:] >= pk_h[:-1]))
+    details["join_keys31"] = keys31
+    details["join_pk_sorted"] = pk_sorted
+    lf, ly = jax.device_put(np.asarray(lb["fk"])), jax.device_put(np.asarray(lb["y"]))
+    rk, rx = jax.device_put(pk_h), jax.device_put(np.asarray(rb["x"]))
     jax.block_until_ready((lf, ly, rk, rx))
 
     def join_step(c):
-        fk, (y,), (x,), matched = join_shard_fused(c, (ly,), rk, (rx,))
-        return c ^ (fk[:rows] & jnp.uint32(1))
+        fk, (y,), (x,), matched = join_shard_auto(
+            c, (ly,), rk, (rx,), keys31=keys31, pk_sorted=pk_sorted
+        )
+        # keep every output live so XLA cannot dead-code sort operands
+        return c ^ (fk[:rows] & jnp.uint32(1)) ^ (y[:rows] & jnp.uint32(2)) \
+            ^ (x[:rows] & jnp.uint32(4)) ^ matched[:rows].astype(jnp.uint32)
 
     _log("timing join (chained)...")
     join_sec = time_chained(join_step, lf, k=2)
@@ -68,9 +84,96 @@ def main():
     details["join_rows_per_s"] = join_rows_per_s
     _log(f"join: {join_sec*1e3:.3f} ms -> {join_rows_per_s/1e6:.1f} Mrows/s")
 
+    # per-phase attribution (join_benchmark.cc:48-60 build/probe/take phase
+    # counters analog): chained timing of pipeline prefixes; differences
+    # attribute time to sort / propagate / mask+output stages.
+    from dpu_olap_tpu.ops.hashtable import EMPTY
+    from dpu_olap_tpu.ops.join import _fill_forward
+
+    def rehash(x):
+        x = (x ^ jnp.uint32(61)) ^ (x >> jnp.uint32(16))
+        x = x + (x << jnp.uint32(3))
+        x = x ^ (x >> jnp.uint32(4))
+        x = x * jnp.uint32(0x27D4EB2D)
+        return x ^ (x >> jnp.uint32(15))
+
+    use_merge = pk_sorted and keys31
+
+    def phase_sort(c):
+        # probe-side sort only (merge path) / full concat sort (fused path)
+        if use_merge:
+            k2 = (c << jnp.uint32(1)) | jnp.uint32(1)
+            out = jax.lax.sort([k2, ly], num_keys=1)
+        elif keys31:
+            k2 = jnp.concatenate(
+                [rk << jnp.uint32(1), (c << jnp.uint32(1)) | jnp.uint32(1)]
+            )
+            out = jax.lax.sort([k2, jnp.concatenate([rx, ly])], num_keys=1)
+        else:
+            side = jnp.concatenate(
+                [jnp.zeros((rows,), jnp.int32), jnp.ones((rows,), jnp.int32)]
+            )
+            out = jax.lax.sort(
+                [jnp.concatenate([rk, c]), side, jnp.concatenate([rx, ly])],
+                num_keys=1,
+            )
+        acc = out[0] ^ out[-1]
+        return rehash(acc[:rows])
+
+    def phase_sort_merge(c):
+        # sort + merge (merge path) / sort + fill (fused path)
+        if use_merge:
+            from dpu_olap_tpu.ops.merge_xla import bitonic_merge
+
+            k2 = (c << jnp.uint32(1)) | jnp.uint32(1)
+            sl_k, sl_y = jax.lax.sort([k2, ly], num_keys=1)
+            n2 = 2 * rows
+            pad = (1 << (n2 - 1).bit_length()) - n2
+            sk2, sm = bitonic_merge(
+                (jnp.concatenate([rk << jnp.uint32(1),
+                                  jnp.full((pad,), 0xFFFFFFFF, jnp.uint32),
+                                  sl_k[::-1]]),
+                 jnp.concatenate([rx, jnp.zeros((pad,), jnp.uint32),
+                                  sl_y[::-1]]))
+            )
+            return rehash((sk2 ^ sm)[:rows])
+        if keys31:
+            k2 = jnp.concatenate(
+                [rk << jnp.uint32(1), (c << jnp.uint32(1)) | jnp.uint32(1)]
+            )
+            sk2, sm = jax.lax.sort([k2, jnp.concatenate([rx, ly])], num_keys=1)
+            is_pk = (sk2 & jnp.uint32(1)) == 0
+            sk = sk2 >> jnp.uint32(1)
+        else:
+            side = jnp.concatenate(
+                [jnp.zeros((rows,), jnp.int32), jnp.ones((rows,), jnp.int32)]
+            )
+            sk, ss, sm = jax.lax.sort(
+                [jnp.concatenate([rk, c]), side, jnp.concatenate([rx, ly])],
+                num_keys=1,
+            )
+            is_pk = ss == 0
+        pkey, pv = _fill_forward((jnp.where(is_pk, sk, EMPTY), sm))
+        return rehash((sk ^ pkey ^ pv)[:rows])
+
+    _log("timing join phases...")
+    t_sort = time_chained(phase_sort, lf, k=2)
+    t_mid = time_chained(phase_sort_merge, lf, k=2)
+    mid_name = "merge" if use_merge else "propagate"
+    details["join_phase_sort_ms"] = t_sort * 1e3
+    details[f"join_phase_{mid_name}_ms"] = (t_mid - t_sort) * 1e3
+    details["join_phase_fill_mask_ms"] = (join_sec - t_mid) * 1e3
+    _log(
+        f"join phases: sort={t_sort*1e3:.2f} "
+        f"{mid_name}={(t_mid-t_sort)*1e3:.2f} "
+        f"fill+mask/output={(join_sec-t_mid)*1e3:.2f} ms"
+    )
+
     # correctness spot check (forces one real execution; count on device to
     # avoid a large readback through the tunnel)
-    fk, (y,), (x,), matched = jax.jit(join_shard_fused)(lf, (ly,), rk, (rx,))
+    fk, (y,), (x,), matched = join_shard_auto(
+        lf, (ly,), rk, (rx,), keys31=keys31, pk_sorted=pk_sorted
+    )
     m = int(np.asarray(jnp.sum(matched.astype(jnp.int32))))
     assert m == rows, f"join must match every left row, got {m}/{rows}"
     _log("join correctness ok")
@@ -91,7 +194,7 @@ def main():
     # ---- secondary operator metrics ---------------------------------------
     nf = min(rows * 4, 1 << 23)
     ft = make_filter_batches(1, nf)
-    fa = ft[0]["a"]
+    fa = jax.device_put(np.asarray(ft[0]["a"]))
     jax.block_until_ready(fa)
 
     _log("timing filter...")

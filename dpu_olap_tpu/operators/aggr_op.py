@@ -36,27 +36,50 @@ class SumTpu:
         return self
 
     def Run(self) -> int | float:
+        from ..parallel.streaming import round_geometry, stream_rounds
+
         d = self.ds.nr_devices
-        cols = [np.asarray(b[self.column]) for b in self.table]
-        is_float = np.issubdtype(cols[0].dtype, np.floating)
-        even = (
-            len(cols) % d == 0
-            and len({c.shape[0] for c in cols}) == 1
-        )
-        with timed(self.timers, "copy-to-device"):
-            if even:
-                dev = self.ds.scatter(np.stack(cols).reshape(d, -1))
-            else:  # ragged batches (e.g. post-filter): single-array path
+        b = len(self.table)
+        first = np.asarray(self.table[0][self.column])
+        is_float = np.issubdtype(first.dtype, np.floating)
+        lengths = {self.table[i].num_rows for i in range(b)}
+        even = b % d == 0 and len(lengths) == 1
+
+        if not even:  # ragged batches (e.g. post-filter): single-array path
+            cols = [np.asarray(bt[self.column]) for bt in self.table]
+            with timed(self.timers, "copy-to-device"):
                 dev = jax.device_put(np.concatenate(cols))
-        if is_float:
-            with timed(self.timers, "device-work"):
-                parts = self._ffn(dev)
-            with timed(self.timers, "copy-from-device"):
+            if is_float:
+                with timed(self.timers, "device-work"):
+                    parts = self._ffn(dev)
                 return float(np.asarray(parts, dtype=np.float64).sum())
-        with timed(self.timers, "device-work"):
-            lo, hi = self._fn(dev)
-        with timed(self.timers, "copy-from-device"):
+            with timed(self.timers, "device-work"):
+                lo, hi = self._fn(dev)
             return u64_pair_to_int(np.asarray(lo), np.asarray(hi))
+
+        # Streaming rounds (aggr_dpu.cc:55-77 round loop): per-round device
+        # partials, host-side exact total (aggr_dpu.cc:82-84).
+        n = self.table[0].num_rows
+        rpr, n_rounds = round_geometry(b, d, n)
+        per_round = d * rpr
+
+        def stage(r):
+            return np.stack(
+                [np.asarray(self.table[r * per_round + i][self.column])
+                 for i in range(per_round)]
+            ).reshape(d, -1)
+
+        if is_float:
+            dispatch = lambda r, staged: self._ffn(self.ds.scatter(staged))
+            collect = lambda r, h: float(np.asarray(h, dtype=np.float64).sum())
+            parts = stream_rounds(n_rounds, stage, dispatch, collect,
+                                  timers=self.timers)
+            return float(np.sum(parts))
+        dispatch = lambda r, staged: self._fn(self.ds.scatter(staged))
+        collect = lambda r, h: u64_pair_to_int(np.asarray(h[0]), np.asarray(h[1]))
+        parts = stream_rounds(n_rounds, stage, dispatch, collect,
+                              timers=self.timers)
+        return int(sum(parts))
 
     def Timers(self):
         return self.timers

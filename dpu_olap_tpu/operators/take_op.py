@@ -22,6 +22,10 @@ from ..timer import Timers, timed
 
 
 class TakeTpu:
+    """Streaming take: rounds of (devices x batches_per_round) batch pairs
+    through one compiled program with bounded in-flight rounds (the
+    take_dpu.cc:62-91 round loop + async pipeline)."""
+
     def __init__(self, ds: DeviceSet, data: Table, indices: Table,
                  data_col: str = "a", idx_col: str = "i"):
         self.ds, self.data, self.indices = ds, data, indices
@@ -29,32 +33,50 @@ class TakeTpu:
         self.timers = Timers()
 
     def Prepare(self):
+        from ..parallel.streaming import round_geometry
+
         d = self.ds.nr_devices
         b = len(self.data)
         assert b % d == 0
-        self.round_batches = b // d
+        n = self.data[0].num_rows
+        self.rpr, self.n_rounds = round_geometry(b, d, n)
 
-        def per_device(data, idx):  # (1, round_batches, n) shard-local
+        def per_device(data, idx):  # (1, rpr, n) shard-local
             return jax.vmap(take)(data[0], idx[0])
 
         self._fn = self.ds.shard_fn(per_device, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS))
         return self
 
     def Run(self) -> List[np.ndarray]:
-        d, r = self.ds.nr_devices, self.round_batches
+        from ..parallel.streaming import stream_rounds
+
+        d, rpr = self.ds.nr_devices, self.rpr
         n = self.data[0].num_rows
         k = self.indices[0].num_rows
-        with timed(self.timers, "copy-to-device"):
-            data = self.ds.scatter(
-                np.stack([np.asarray(b[self.data_col]) for b in self.data]).reshape(d, r, n)
-            )
-            idx = self.ds.scatter(
-                np.stack([np.asarray(b[self.idx_col]) for b in self.indices]).reshape(d, r, k)
-            )
-        with timed(self.timers, "device-work"):
-            out = self._fn(data, idx)
-        with timed(self.timers, "copy-from-device"):
+        per_round = d * rpr
+
+        def stage(r):
+            data = np.stack(
+                [np.asarray(self.data[r * per_round + i][self.data_col])
+                 for i in range(per_round)]
+            ).reshape(d, rpr, n)
+            idx = np.stack(
+                [np.asarray(self.indices[r * per_round + i][self.idx_col])
+                 for i in range(per_round)]
+            ).reshape(d, rpr, k)
+            return data, idx
+
+        def dispatch(r, staged):
+            data, idx = staged
+            return self._fn(self.ds.scatter(data), self.ds.scatter(idx))
+
+        def collect(r, out):
             return list(np.asarray(out).reshape(-1, k))
+
+        rounds = stream_rounds(
+            self.n_rounds, stage, dispatch, collect, timers=self.timers
+        )
+        return [c for chunk in rounds for c in chunk]
 
     def Timers(self):
         return self.timers

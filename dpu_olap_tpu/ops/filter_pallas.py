@@ -106,11 +106,14 @@ def run_butterfly(work_planes, work_d, wrows):
         in_range = (wflat + s) < total
         cd = jnp.where(in_range, _shift_down(d, s, wrows), -1)
         take = (cd >= 0) & ((cd & s) != 0)
-        stay = (d >= 0) & ((d & s) == 0)
         for w in work_planes:
             v = w[:]
             w[:] = jnp.where(take, _shift_down(v, s, wrows), v)
-        work_d[:] = jnp.where(take, cd - s, jnp.where(stay, d, -1))
+        # new distance: taken slots get cd-s; a slot keeps d only when d >= 0
+        # with bit s clear — holes (-1, all bits set) fail (d & s) == 0, and
+        # a set bit always moves its packet out (conflict-free network), so
+        # the d >= 0 guard is redundant.
+        work_d[:] = jnp.where(take, cd - s, jnp.where((d & s) == 0, d, -1))
         s *= 2
 
 

@@ -124,7 +124,7 @@ def _cosort_probe(left_fk, right_pk, right_valid, left_valid):
     return sel2[:n_l], found2[:n_l] == 1
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("keys31",))
 def join_shard_fused(
     left_fk: jnp.ndarray,
     left_payload: Tuple[jnp.ndarray, ...],
@@ -132,6 +132,7 @@ def join_shard_fused(
     right_payload: Tuple[jnp.ndarray, ...],
     left_valid: jnp.ndarray | None = None,
     right_valid: jnp.ndarray | None = None,
+    keys31: bool = False,
 ):
     """Fully-fused co-sort join: payload columns ride the sort and the
     propagation scan, so there are no gathers at all. Output rows come back
@@ -139,6 +140,16 @@ def join_shard_fused(
     ``matched`` mask — the natural contract for the distributed path, whose
     consumers compact by mask anyway (the reference's DPU row order equally
     differs from input order, host/join/join_test.cc sort-normalizes).
+
+    keys31: the join needs key GROUPING, not key order, so any strict order
+    on (key, side) works. When all keys < 2^31 - 1 (the reference's own
+    workload: pk is a sequential index, join_benchmark.cc:71-107), side packs
+    into the sort key as k2 = key<<1 | side, dropping one live sort operand —
+    measured ~1.3 ms/operand on a 4Mi flat sort (MEASURE_R2.json sortlive
+    table). k2 values >= 0xFFFFFFFE decode back to EMPTY, which is why
+    0x7FFFFFFF itself is excluded from the packed range. Callers assert the
+    range (operators detect it on the host-resident key columns); the
+    generic 32-bit path keeps side as an operand.
 
     Returns (fk, left_cols, right_cols, matched), each of length n_l + n_r.
     """
@@ -150,14 +161,11 @@ def join_shard_fused(
     if right_valid is not None:
         pk = jnp.where(right_valid, pk, EMPTY)
     fkk = jnp.where(left_valid, fk, EMPTY) if left_valid is not None else fk
-    keys = jnp.concatenate([pk, fkk])
-    side = jnp.concatenate(
-        [jnp.zeros((n_r,), jnp.int32), jnp.ones((n_l,), jnp.int32)]
-    )
     # Sort-traffic minimization: (a) lax.sort is stable and the pk side is
     # concatenated first, so pk-before-equal-fk ordering comes for free —
-    # ``side`` rides as a non-key operand; (b) left and right payloads occupy
-    # disjoint rows, so payload k of both sides shares ONE merged operand.
+    # ``side`` rides as a non-key operand (or inside the key under keys31);
+    # (b) left and right payloads occupy disjoint rows, so payload k of both
+    # sides shares ONE merged operand.
     zeros_r = jnp.zeros((n_r,), jnp.uint32)
     zeros_l = jnp.zeros((n_l,), jnp.uint32)
     merged = []
@@ -165,10 +173,29 @@ def join_shard_fused(
         right_half = right_payload[k].astype(jnp.uint32) if k < m_r else zeros_r
         left_half = left_payload[k].astype(jnp.uint32) if k < m_l else zeros_l
         merged.append(jnp.concatenate([right_half, left_half]))
-    sorted_all = jax.lax.sort([keys, side, *merged], num_keys=1)
-    sk, sside = sorted_all[0], sorted_all[1]
-    smerged = sorted_all[2:]
-    is_pk = sside == 0
+    if keys31:
+        # EMPTY (0xFFFFFFFF) maps to 0xFFFFFFFE/FFFFFFFF — still the maximum,
+        # still sorts invalid lanes to the end.
+        k2 = jnp.concatenate(
+            [pk << jnp.uint32(1), (fkk << jnp.uint32(1)) | jnp.uint32(1)]
+        )
+        sorted_all = jax.lax.sort([k2, *merged], num_keys=1)
+        sk2 = sorted_all[0]
+        smerged = sorted_all[1:]
+        sk = sk2 >> jnp.uint32(1)
+        is_pk = (sk2 & jnp.uint32(1)) == 0
+        sk = jnp.where(sk2 >= jnp.uint32(0xFFFFFFFE), EMPTY, sk)
+        sside_fk = ~is_pk
+    else:
+        keys = jnp.concatenate([pk, fkk])
+        side = jnp.concatenate(
+            [jnp.zeros((n_r,), jnp.int32), jnp.ones((n_l,), jnp.int32)]
+        )
+        sorted_all = jax.lax.sort([keys, side, *merged], num_keys=1)
+        sk, sside = sorted_all[0], sorted_all[1]
+        smerged = sorted_all[2:]
+        is_pk = sside == 0
+        sside_fk = sside == 1
     # Payload planes need no pre-masking: the fill kernel moves (key, pay)
     # pairs together, so a dead lane's original payload never propagates.
     propagated = _fill_forward(
@@ -176,7 +203,7 @@ def join_shard_fused(
     )
     pkey, prcols = propagated[0], propagated[1:]
     has = pkey != jnp.uint32(EMPTY)
-    matched = has & (pkey == sk) & (sside == 1) & (sk != EMPTY)
+    matched = has & (pkey == sk) & sside_fk & (sk != EMPTY)
     out_l = tuple(jnp.where(matched, smerged[k], 0) for k in range(m_l))
     out_r = tuple(jnp.where(matched, c, 0) for c in prcols)
     return jnp.where(matched, sk, 0), out_l, out_r, matched
@@ -237,6 +264,42 @@ def join_shard_merge(
     out_r = tuple(jnp.where(matched, p, 0) for p in ppays)
     out_l = tuple(jnp.where(matched, p, 0) for p in lps_s)
     return jnp.where(matched, lk_s, 0), out_l, out_r, matched
+
+
+def join_shard_auto(
+    left_fk,
+    left_payload,
+    right_pk,
+    right_payload,
+    keys31: bool = False,
+    pk_sorted: bool = False,
+):
+    """Single-shard join with host-detected workload structure:
+
+      pk_sorted & keys31 & 1 payload/side -> sorted-build bitonic-merge join
+          (ops/merge_xla.py): sort(n_l) + log2(N)-stage merge instead of
+          sort(n_l+n_r). The reference's sequential-index pk
+          (generator.cc:59-71) always takes this path.
+      keys31 -> side packs into the sort key (one fewer live sort operand).
+      otherwise -> the generic fused co-sort join.
+
+    Operators detect both flags on the host-resident key columns (numpy
+    scans in Prepare); measured on v5e at 2Mi x 2Mi: 5.5ms / 8.0ms / 9.0ms
+    for the three tiers."""
+    if (
+        pk_sorted
+        and keys31
+        and len(left_payload) == 1
+        and len(right_payload) == 1
+    ):
+        from .merge_xla import join_shard_sorted_build
+
+        return join_shard_sorted_build(
+            left_fk, left_payload, right_pk, right_payload
+        )
+    return join_shard_fused(
+        left_fk, left_payload, right_pk, right_payload, keys31=keys31
+    )
 
 
 @partial(jax.jit, static_argnames=("impl",))

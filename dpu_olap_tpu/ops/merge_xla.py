@@ -1,0 +1,114 @@
+"""XLA bitonic merge of two sorted runs + the sorted-build co-sort join.
+
+Motivation (MEASURE_R2.json): a flat 4Mi 2-operand XLA sort costs 7.2ms on
+v5e; when the build (pk) side arrives already sorted — always true for the
+reference's sequential index pk (host/generator/generator.cc:59-71) — the
+concat of [sorted_pk | reversed(sorted_fk)] is a bitonic sequence, and one
+log2(N)-stage bitonic merge network replaces the flat co-sort. Each stage is
+a pure elementwise min/max + select pass that XLA fuses aggressively, so the
+merge costs ~log2(N) bandwidth passes instead of a full sort.
+
+The probe side still needs one sort (half the data of the concat sort), so
+the sorted-build join = sort(n_l) + merge(n_l+n_r) versus sort(n_l+n_r).
+
+Reference analog: the DPU join exploits nothing about sorted builds (it
+always hash-builds, dpu/shared/kernels/hash_build.c); this path is a
+TPU-native specialization the detected-sorted operator selects.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bitonic_merge(planes: Tuple[jnp.ndarray, ...], interpret: bool = False):
+    """Sort a BITONIC sequence (e.g. concat of an ascending and a descending
+    sorted run) with the classic half-cleaner cascade. planes[0] is the key
+    (uint32, ties interchangeable); other planes follow its moves. Length
+    must be a power of two (callers pad with 0xFFFFFFFF keys).
+
+    Stage split (measured — a naive per-stage XLA loop costs 36.7ms at 4Mi
+    because sub-128 distances force sub-lane-width layouts): stages with
+    d >= BLOCK run as layout-clean 2-D slice/concat passes; all stages with
+    d < BLOCK fuse into one Pallas pass (ops/bitonic_pallas.py)."""
+    from .bitonic_pallas import DEF_R, LANES, bitonic_merge_blocks
+
+    n = planes[0].shape[0]
+    assert n & (n - 1) == 0, f"bitonic_merge needs power-of-2 length, got {n}"
+    planes = list(planes)
+    block = DEF_R * LANES
+    d = n // 2
+    while d >= block:
+        shaped = [p.reshape(-1, 2 * d) for p in planes]
+        lo_k, hi_k = shaped[0][:, :d], shaped[0][:, d:]
+        m = lo_k <= hi_k
+        out = []
+        for p in shaped:
+            lo, hi = p[:, :d], p[:, d:]
+            nlo = jnp.where(m, lo, hi)
+            nhi = jnp.where(m, hi, lo)
+            out.append(jnp.concatenate([nlo, nhi], axis=1).reshape(n))
+        planes = out
+        d //= 2
+    if n >= block:
+        return bitonic_merge_blocks(tuple(planes), interpret=interpret)
+    # tiny inputs: finish with a plain sort (test-scale only)
+    out = jax.lax.sort(planes, num_keys=1)
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("pk_sorted",))
+def join_shard_sorted_build(
+    left_fk: jnp.ndarray,
+    left_payload: Tuple[jnp.ndarray, ...],
+    right_pk: jnp.ndarray,
+    right_payload: Tuple[jnp.ndarray, ...],
+    pk_sorted: bool = True,
+):
+    """Co-sort join for a SORTED (or to-be-sorted-once) unique-pk build side
+    with 31-bit keys: sort the probe side only, bitonic-merge the two runs,
+    then the standard fill + mask. Same output contract as join_shard_fused
+    (padded key-sorted rows + matched mask). One payload column per side
+    (merged plane), keys < 2^31 - 1.
+    """
+    from .hashtable import EMPTY
+    from .join import _fill_forward
+
+    n_r, n_l = right_pk.shape[0], left_fk.shape[0]
+    assert len(left_payload) == 1 and len(right_payload) == 1
+    pk = right_pk.astype(jnp.uint32)
+    fk = left_fk.astype(jnp.uint32)
+    x = right_payload[0].astype(jnp.uint32)
+    y = left_payload[0].astype(jnp.uint32)
+
+    k2_l = (fk << jnp.uint32(1)) | jnp.uint32(1)
+    sl_k, sl_y = jax.lax.sort([k2_l, y], num_keys=1)
+    k2_r = pk << jnp.uint32(1)
+    if not pk_sorted:
+        k2_r, x = jax.lax.sort([k2_r, x], num_keys=1)
+
+    n = n_r + n_l
+    pad = (1 << (n - 1).bit_length()) - n
+    # [ascending pk run | descending fk run] = bitonic; pad (max-key) lanes
+    # sit between the runs' peak so the sequence stays bitonic.
+    zk = jnp.concatenate(
+        [k2_r, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32), sl_k[::-1]]
+    )
+    zp = jnp.concatenate([x, jnp.zeros((pad,), jnp.uint32), sl_y[::-1]])
+    sk2, sm = bitonic_merge((zk, zp))
+    sk = sk2 >> jnp.uint32(1)
+    is_pk = (sk2 & jnp.uint32(1)) == 0
+    sk = jnp.where(sk2 >= jnp.uint32(0xFFFFFFFE), EMPTY, sk)
+
+    pkey, px = _fill_forward((jnp.where(is_pk, sk, EMPTY), sm))
+    has = pkey != jnp.uint32(EMPTY)
+    matched = has & (pkey == sk) & (~is_pk) & (sk != EMPTY)
+    out_l = (jnp.where(matched, sm, 0),)
+    out_r = (jnp.where(matched, px, 0),)
+    return jnp.where(matched, sk, 0), out_l, out_r, matched

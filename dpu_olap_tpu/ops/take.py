@@ -3,10 +3,17 @@
 Reference: dpu/shared/kernels/take.c — streams index blocks through WRAM and
 issues 4-byte random MRAM loads per index (take.c:27-41).
 
-TPU-native: a single XLA gather over the HBM-resident column. XLA's gather
-emitter already pipelines HBM reads; there is no alignment fix-up to do
-because gathers are element-typed. Out-of-range behavior is 'fill' (debug
-poison) rather than UB.
+TPU-native: XLA's 1-D element gather is index-rate-bound (~140M idx/s
+measured on v5e), so the default path reshapes the column into 128-lane rows
+and gathers whole 512-byte rows — XLA's row gather runs ~2.7x faster
+(measured 383M rows/s from a 16MB table, MEASURE_R2.json) — then extracts
+each index's lane with a one-hot compare + row reduction that XLA fuses into
+the gather consumer. Net measured 267M idx/s on the BM_Take shape (512Ki
+indices / 4Mi data) vs 77M for the element gather: the VERDICT item-3
+formulation, chosen over sort-merge-gather (two 2Mi-class sorts cost more
+than the gather saves; MEASURE_R2 sort table).
+
+Out-of-range behavior is 'fill'/clip (debug poison) rather than UB.
 """
 
 from __future__ import annotations
@@ -16,12 +23,54 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+_LANES = 128
+
+
+@jax.jit
+def _take_rows_u32(data: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Row-gather fast path for 1-D 32-bit data, n a multiple of 128.
+
+    Gathers the 128-lane row holding each index, then selects the lane via a
+    one-hot reduction (take_along_axis would be a second element gather —
+    measured 58M idx/s; the one-hot fuses)."""
+    n = data.shape[0]
+    rows = data.reshape(n // _LANES, _LANES)
+    idx = jnp.clip(indices.astype(jnp.int32), 0, n - 1)  # mode="clip" parity
+    r = idx >> 7
+    lane = idx & jnp.int32(_LANES - 1)
+    g = jnp.take(rows, r, axis=0)  # (k, 128) row gather
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (indices.shape[0], _LANES), 1)
+        == lane[:, None]
+    )
+    return jnp.sum(jnp.where(oh, g, 0), axis=1).astype(data.dtype)
+
+
+def _row_path_ok(data: jnp.ndarray, indices: jnp.ndarray) -> bool:
+    return (
+        data.ndim == 1
+        and indices.ndim == 1
+        and data.dtype.itemsize == 4
+        and jnp.issubdtype(data.dtype, jnp.integer)
+        and data.shape[0] % _LANES == 0
+        and data.shape[0] > 0
+    )
+
 
 @partial(jax.jit, static_argnames=("fill",))
 def take(data: jnp.ndarray, indices: jnp.ndarray, fill: int | None = None) -> jnp.ndarray:
     """Gather rows of ``data`` at ``indices`` (uint32)."""
     if fill is None:
+        if _row_path_ok(data, indices):
+            return _take_rows_u32(data, indices)
         return jnp.take(data, indices.astype(jnp.int32), axis=0, mode="clip")
+    n = data.shape[0]
+    if _row_path_ok(data, indices):
+        out = _take_rows_u32(data, indices)
+        in_range = (indices.astype(jnp.int32) >= 0) & (
+            indices.astype(jnp.int32) < n
+        )
+        return jnp.where(in_range, out, data.dtype.type(fill))
     return jnp.take(
         data, indices.astype(jnp.int32), axis=0, mode="fill", fill_value=fill
     )
@@ -32,5 +81,5 @@ def take_masked(data: jnp.ndarray, indices: jnp.ndarray, valid: jnp.ndarray) -> 
     """Gather with a validity mask: invalid lanes produce 0. Used by padded
     shuffle fragments where tail lanes carry sentinel indices."""
     clipped = jnp.where(valid, indices, 0).astype(jnp.int32)
-    out = jnp.take(data, clipped, axis=0, mode="clip")
+    out = take(data, clipped)
     return jnp.where(valid, out, 0)

@@ -41,6 +41,7 @@ def dist_join_spmd(
     cell_right: int,
     impl: str = "cosort",
     axis_name: str = AXIS,
+    keys31: bool = False,
 ):
     """SPMD body (call inside shard_map): co-shuffle + local join."""
     from ..ops.join import join_shard, join_shard_fused  # avoid cycles
@@ -57,7 +58,8 @@ def dist_join_spmd(
         # fused path: payloads ride the sort, no gathers (rows come back
         # key-sorted; consumers compact by the matched mask anyway)
         fk, lcols, rcols, matched = join_shard_fused(
-            lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid
+            lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid,
+            keys31=keys31,
         )
     else:
         fk, lcols, rcols, matched = join_shard(
@@ -84,6 +86,7 @@ def dist_join(
     impl: str = "cosort",
     cell_left: int | None = None,
     cell_right: int | None = None,
+    keys31: bool = False,
 ):
     """Build and run the distributed join for arrays sharded over ds.
 
@@ -103,7 +106,7 @@ def dist_join(
     # potentially re-compile) the whole shuffle+join on every invocation.
     per_mesh = _FN_CACHE.setdefault(ds.mesh, {})
     key = (
-        n_dev, cell_left, cell_right, impl,
+        n_dev, cell_left, cell_right, impl, keys31,
         len(left_payloads), len(right_payloads),
     )
     fn = per_mesh.get(key)
@@ -111,7 +114,8 @@ def dist_join(
 
         def body(lf, lps, rk, rps):
             return dist_join_spmd(
-                lf, lps, rk, rps, n_dev, cell_left, cell_right, impl=impl
+                lf, lps, rk, rps, n_dev, cell_left, cell_right, impl=impl,
+                keys31=keys31,
             )
 
         sharded = P(AXIS)

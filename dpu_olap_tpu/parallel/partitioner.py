@@ -89,59 +89,66 @@ class Partitioner:
         else:  # pure-python fallback
             slabs = [[np.empty(0, np.uint32) for _ in dtypes] for _ in range(p)]
 
-        # Device work per round; rounds are dispatched eagerly and gathered in
-        # order (async-dispatch pipelining, the rank-callback chain analog).
-        pending = []
-        for r in range(rounds):
-            with timed(self.timers, "partition-copy-to-device", r):
-                batch = np.stack(
-                    [np.asarray(table[r * d + i][key_col]) for i in range(d)]
-                )
-                payloads = [
-                    np.stack(
-                        [np.asarray(table[r * d + i][c]) for i in range(d)]
-                    )
-                    for c in payload_cols
-                ]
-                dev_keys = self.ds.scatter(batch)
-                dev_pay = [self.ds.scatter(x) for x in payloads]
-            with timed(self.timers, "partition-kernel", r):
-                pending.append(fn(dev_keys, dev_pay))
+        # Device work per round through the bounded streaming pipeline
+        # (background host staging, async dispatch, at most
+        # FLAGS.stream_max_inflight outstanding rounds — the reference bounds
+        # its per-rank job queues the same way, nrJobsPerRank); previously
+        # all rounds' device outputs accumulated before any gather, which at
+        # many rounds re-created the OOM the round loop exists to avoid.
+        from .streaming import stream_rounds
 
-        for r, (ck, cp, counts, overflow) in enumerate(pending):
-            with timed(self.timers, "partition-copy-from-device", r):
-                ck_h = np.asarray(ck).reshape(d, p, cell)
-                cp_h = [np.asarray(x).reshape(d, p, cell) for x in cp]
-                counts_h = np.asarray(counts).reshape(d, p)
-                if np.any(np.asarray(overflow)):
-                    raise OverflowError(
-                        "partition fragment exceeded cell size; raise shuffle_slack"
-                    )
-            with timed(self.timers, "partition-load", r):
-                for dev in range(d):
-                    for part in range(p):
-                        c = int(counts_h[dev, part])
-                        if c == 0:
-                            continue
-                        if use_native:
-                            start = slabs[part].reserve(c)
+        def stage(r):
+            batch = np.stack(
+                [np.asarray(table[r * d + i][key_col]) for i in range(d)]
+            )
+            payloads = [
+                np.stack([np.asarray(table[r * d + i][c]) for i in range(d)])
+                for c in payload_cols
+            ]
+            return batch, payloads
+
+        def dispatch(r, staged):
+            batch, payloads = staged
+            dev_keys = self.ds.scatter(batch)
+            dev_pay = [self.ds.scatter(x) for x in payloads]
+            return fn(dev_keys, dev_pay)
+
+        def collect(r, handle):
+            ck, cp, counts, overflow = handle
+            ck_h = np.asarray(ck).reshape(d, p, cell)
+            cp_h = [np.asarray(x).reshape(d, p, cell) for x in cp]
+            counts_h = np.asarray(counts).reshape(d, p)
+            if np.any(np.asarray(overflow)):
+                raise OverflowError(
+                    "partition fragment exceeded cell size; raise shuffle_slack"
+                )
+            for dev in range(d):
+                for part in range(p):
+                    c = int(counts_h[dev, part])
+                    if c == 0:
+                        continue
+                    if use_native:
+                        start = slabs[part].reserve(c)
+                        executor.submit_partition_write(
+                            part, slabs[part], 0,
+                            np.ascontiguousarray(ck_h[dev, part, :c]), start,
+                        )
+                        for ci, col in enumerate(cp_h):
                             executor.submit_partition_write(
-                                part, slabs[part], 0,
-                                np.ascontiguousarray(ck_h[dev, part, :c]), start,
+                                part, slabs[part], 1 + ci,
+                                np.ascontiguousarray(col[dev, part, :c]), start,
                             )
-                            for ci, col in enumerate(cp_h):
-                                executor.submit_partition_write(
-                                    part, slabs[part], 1 + ci,
-                                    np.ascontiguousarray(col[dev, part, :c]), start,
-                                )
-                        else:
-                            slabs[part][0] = np.concatenate(
-                                [slabs[part][0], ck_h[dev, part, :c]]
+                    else:
+                        slabs[part][0] = np.concatenate(
+                            [slabs[part][0], ck_h[dev, part, :c]]
+                        )
+                        for ci, col in enumerate(cp_h):
+                            slabs[part][1 + ci] = np.concatenate(
+                                [slabs[part][1 + ci], col[dev, part, :c]]
                             )
-                            for ci, col in enumerate(cp_h):
-                                slabs[part][1 + ci] = np.concatenate(
-                                    [slabs[part][1 + ci], col[dev, part, :c]]
-                                )
+            return None
+
+        stream_rounds(rounds, stage, dispatch, collect, timers=self.timers)
 
         names = [key_col, *payload_cols]
         out: List[Dict[str, np.ndarray]] = []

@@ -55,6 +55,12 @@ def main() -> int:
     d = ds.nr_devices
     failures = 0
 
+    # REFERENCE_SHAPES=1: the reference's real per-SF workload shapes
+    # (BASELINE.md) — filter SF*128 x 64Ki, take SF x 4Mi/512Ki, join SF x
+    # 2Mi per side — instead of the scaled-down defaults. Used for the
+    # committed reference-batch-count parity evidence (PARITY_RUNS.md).
+    ref_shapes = os.environ.get("REFERENCE_SHAPES") == "1"
+
     def report(name, ok, detail=""):
         nonlocal failures
         print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}", flush=True)
@@ -62,12 +68,17 @@ def main() -> int:
             failures += 1
 
     # filter
-    nb = max(d, (sf * 8 // d) * d or d)
-    table = make_filter_batches(nb, 1 << 14)
+    if ref_shapes:
+        nb = max(d, (sf * 128 // d) * d or d)
+        batch_rows = 1 << 16
+    else:
+        nb = max(d, (sf * 8 // d) * d or d)
+        batch_rows = 1 << 14
+    table = make_filter_batches(nb, batch_rows)
     got = FilterTpu(ds, table).Prepare().Run()
     exp = FilterNative(table).Prepare().Run()
     ok = len(got) == len(exp) and all(np.array_equal(g, e) for g, e in zip(got, exp))
-    report("filter", ok, f"{nb} batches x 16Ki")
+    report("filter", ok, f"{nb} batches x {batch_rows >> 10}Ki")
 
     # sum
     got_s = SumTpu(ds, table).Prepare().Run()
@@ -75,13 +86,20 @@ def main() -> int:
     report("sum", got_s == exp_s, f"result={got_s}")
 
     # take
-    data, idx = make_take_batches(nb, 1 << 14, 1 << 11)
+    if ref_shapes:
+        data, idx = make_take_batches(max(d, sf), 1 << 22, 1 << 19)
+    else:
+        data, idx = make_take_batches(nb, 1 << 14, 1 << 11)
     got_t = TakeTpu(ds, data, idx).Prepare().Run()
     exp_t = TakeNative(data, idx).Prepare().Run()
     report("take", all(np.array_equal(g, e) for g, e in zip(got_t, exp_t)))
 
     # join (exact table equality after canonical sort)
-    left, right = make_join_tables(nb, 1 << 12, 1 << 11)
+    if ref_shapes:
+        jb = max(d, (sf // d) * d or d)
+        left, right = make_join_tables(jb, 1 << 21, 1 << 21)
+    else:
+        left, right = make_join_tables(nb, 1 << 12, 1 << 11)
     got_j = JoinTpu(ds, left, right).Prepare().Run()
     exp_j = JoinNative(left, right).Prepare().Run().select(["fk", "y", "x"])
     gt = pa.Table.from_arrays(

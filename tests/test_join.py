@@ -124,3 +124,93 @@ def test_join_shard_fused_with_padding(rng):
     lookup = {int(k): int(v) for k, v in zip(pk[: n_r // 2], x[: n_r // 2])}
     for k, xv in zip(np.asarray(fko)[m], np.asarray(xo)[m]):
         assert lookup[int(k)] == int(xv)
+
+
+def test_fused_join_keys31_matches_generic(rng):
+    from dpu_olap_tpu.ops.join import join_shard_fused
+
+    n_r, n_l = 512, 768
+    pk = rng.permutation(np.arange(2 * n_r, dtype=np.uint32))[:n_r]
+    fk = pk[rng.integers(0, n_r, n_l)]
+    fk[:50] = 2 * n_r + rng.integers(0, 100, 50).astype(np.uint32)  # misses
+    x = rng.integers(0, 2**32, n_r, dtype=np.uint32)
+    y = rng.integers(0, 2**32, n_l, dtype=np.uint32)
+    outs = {}
+    for k31 in (False, True):
+        fko, (yo,), (xo,), m = join_shard_fused(
+            jnp.asarray(fk), (jnp.asarray(y),),
+            jnp.asarray(pk), (jnp.asarray(x),), keys31=k31
+        )
+        m = np.asarray(m)
+        rows = np.stack([np.asarray(fko)[m], np.asarray(yo)[m], np.asarray(xo)[m]])
+        order = np.lexsort(rows[::-1])
+        outs[k31] = rows[:, order]
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_fused_join_keys31_boundary_keys(rng):
+    # keys just inside the packed range (0x7FFFFFFE) and EMPTY masking
+    from dpu_olap_tpu.ops.join import join_shard_fused
+
+    pk = np.asarray([0, 1, 0x7FFFFFFE, 1000], dtype=np.uint32)
+    x = np.asarray([10, 11, 12, 13], dtype=np.uint32)
+    fk = np.asarray([0x7FFFFFFE, 0, 5, 1000], dtype=np.uint32)
+    y = np.asarray([20, 21, 22, 23], dtype=np.uint32)
+    fko, (yo,), (xo,), m = join_shard_fused(
+        jnp.asarray(fk), (jnp.asarray(y),),
+        jnp.asarray(pk), (jnp.asarray(x),), keys31=True
+    )
+    m = np.asarray(m)
+    got = sorted(zip(np.asarray(fko)[m].tolist(), np.asarray(yo)[m].tolist(),
+                     np.asarray(xo)[m].tolist()))
+    assert got == [(0, 21, 10), (1000, 23, 13), (0x7FFFFFFE, 20, 12)]
+
+
+def test_join_sorted_build_matches_fused(rng):
+    from dpu_olap_tpu.ops.merge_xla import join_shard_sorted_build
+    from dpu_olap_tpu.ops.join import join_shard_fused
+
+    n_r, n_l = 1 << 11, 3 << 10  # padded merge length non-trivial
+    pk = np.sort(rng.choice(np.uint32(1 << 20), n_r, replace=False)).astype(np.uint32)
+    fk = pk[rng.integers(0, n_r, n_l)]
+    fk[:64] = (1 << 20) + rng.integers(0, 50, 64).astype(np.uint32)  # misses
+    x = rng.integers(0, 2**32, n_r, dtype=np.uint32)
+    y = rng.integers(0, 2**32, n_l, dtype=np.uint32)
+
+    def canon(res):
+        fko, (yo,), (xo,), m = res
+        m = np.asarray(m)
+        rows = np.stack([np.asarray(fko)[m], np.asarray(yo)[m], np.asarray(xo)[m]])
+        return rows[:, np.lexsort(rows[::-1])]
+
+    a = canon(join_shard_sorted_build(
+        jnp.asarray(fk), (jnp.asarray(y),), jnp.asarray(pk), (jnp.asarray(x),)))
+    b = canon(join_shard_fused(
+        jnp.asarray(fk), (jnp.asarray(y),), jnp.asarray(pk), (jnp.asarray(x),),
+        keys31=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_join_sorted_build_unsorted_pk(rng):
+    from dpu_olap_tpu.ops.merge_xla import join_shard_sorted_build
+    from dpu_olap_tpu.ops.join import join_shard_fused
+
+    n_r = n_l = 1 << 10
+    pk = rng.permutation(np.uint32(4 * n_r))[:n_r].astype(np.uint32)
+    fk = pk[rng.integers(0, n_r, n_l)]
+    x = rng.integers(0, 2**32, n_r, dtype=np.uint32)
+    y = rng.integers(0, 2**32, n_l, dtype=np.uint32)
+
+    def canon(res):
+        fko, (yo,), (xo,), m = res
+        m = np.asarray(m)
+        rows = np.stack([np.asarray(fko)[m], np.asarray(yo)[m], np.asarray(xo)[m]])
+        return rows[:, np.lexsort(rows[::-1])]
+
+    a = canon(join_shard_sorted_build(
+        jnp.asarray(fk), (jnp.asarray(y),), jnp.asarray(pk), (jnp.asarray(x),),
+        pk_sorted=False))
+    b = canon(join_shard_fused(
+        jnp.asarray(fk), (jnp.asarray(y),), jnp.asarray(pk), (jnp.asarray(x),),
+        keys31=True))
+    np.testing.assert_array_equal(a, b)

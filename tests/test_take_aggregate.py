@@ -87,3 +87,34 @@ def test_fused_join_rejects_non32bit_payload(rng):
     bad = jnp.asarray(rng.random(256).astype(np.float32))
     with pytest.raises(TypeError, match="32-bit"):
         join_shard_fused(fk, (bad,), pk, (pk,))
+
+
+def test_take_row_path_vs_element_gather(rng):
+    # row-gather fast path must be bit-identical to the element gather,
+    # including clip behavior at the edges
+    n = 4 * 128
+    data = rng.integers(0, 2**32, n, dtype=np.uint32)
+    idx = np.concatenate([
+        rng.integers(0, n, 64, dtype=np.int64),
+        np.array([0, n - 1, n, n + 5, -1, -7], dtype=np.int64),
+    ]).astype(np.int32)
+    got = np.asarray(take(jnp.asarray(data), jnp.asarray(idx)))
+    expect = data[np.clip(idx, 0, n - 1)]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_take_row_path_fill(rng):
+    n = 2 * 128
+    data = rng.integers(0, 2**32, n, dtype=np.uint32)
+    idx = np.array([0, 5, n - 1, n, -1], dtype=np.int32)
+    got = np.asarray(take(jnp.asarray(data), jnp.asarray(idx), fill=7))
+    expect = np.where((idx >= 0) & (idx < n), data[np.clip(idx, 0, n - 1)], 7)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_take_non128_falls_back(rng):
+    n = 1000  # not a multiple of 128
+    data = rng.integers(0, 2**32, n, dtype=np.uint32)
+    idx = rng.integers(0, n, 97, dtype=np.uint32)
+    got = np.asarray(take(jnp.asarray(data), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, data[idx])
