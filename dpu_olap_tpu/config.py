@@ -66,6 +66,7 @@ class Flags:
 
     enable_perf: bool = True
     enable_log: bool = False
+    enable_trace: bool = False
     ht_load_factor: float = 0.5
     use_radix_partitioning: bool = True
     shuffle_slack: float = 2.0
@@ -83,4 +84,5 @@ class Flags:
 FLAGS = Flags(
     enable_perf=_env_int("ENABLE_PERF", 1) != 0,
     enable_log=_env_int("ENABLE_LOG", 0) != 0,
+    enable_trace=_env_int("ENABLE_TRACE", 0) != 0,
 )

@@ -29,6 +29,33 @@ def log(msg: str) -> None:
         print(f"[dpu_olap_tpu] {msg}", file=sys.stderr, flush=True)
 
 
+def device_log(tag: str, per_device_values, names=None) -> None:
+    """Per-device log streaming (DpuSet::log / exec_with_log analog,
+    host/dpuext/dpuext.hpp:751-778): the reference drains each DPU's printf
+    buffer after a launch; here operators gather small per-shard diagnostic
+    arrays (counts, offsets, retry flags) and stream them one line per
+    device, gated on ENABLE_LOG like the reference's ENABLE_LOG=1 builds.
+
+    per_device_values: array-like of shape (n_devices, ...) — anything
+    np.asarray accepts. names: optional per-column labels.
+    """
+    if not FLAGS.enable_log:
+        return
+    import numpy as np
+
+    vals = np.asarray(per_device_values)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    vals = vals.reshape(vals.shape[0], -1)
+    for dev in range(vals.shape[0]):
+        row = vals[dev]
+        if names:
+            body = " ".join(f"{n}={v}" for n, v in zip(names, row))
+        else:
+            body = " ".join(str(v) for v in row)
+        print(f"[dev {dev}] {tag}: {body}", file=sys.stderr, flush=True)
+
+
 @contextlib.contextmanager
 def trace(name: str, trace_dir: str | None = None):
     """Device profiling scope (the perfcounter analog). With trace_dir set,

@@ -115,6 +115,31 @@ def parallel_memcpy(dst: np.ndarray, src: np.ndarray, nthreads: int | None = Non
     lib.ue_parallel_memcpy(_ptr(dst), _ptr(src), dst.nbytes, nthreads, block_size)
 
 
+def parallel_stack(arrays, out: np.ndarray | None = None) -> np.ndarray:
+    """np.stack with the native threaded memcpy: copies each source array
+    into one row of a preallocated (len(arrays), *shape) buffer through the
+    OrderedExecutor's queues (one per row, round-robin). The round-staging
+    analog of the reference's BackgroundProcessBuffers parallel_memcopy
+    dispatch (host/partition/partitioner.cc:249-278)."""
+    n = len(arrays)
+    first = np.ascontiguousarray(arrays[0])
+    if out is None:
+        out = np.empty((n,) + first.shape, dtype=first.dtype)
+    lib = _load()
+    if lib is None:
+        for i, a in enumerate(arrays):
+            out[i] = a
+        return out
+    from .. import config
+
+    nthreads = min(config.max_threads(), 8)
+    ex = OrderedExecutor(nthreads)
+    for i, a in enumerate(arrays):
+        ex.submit_memcpy(i % nthreads, out[i], np.ascontiguousarray(a))
+    ex.sync()
+    return out
+
+
 class PartitionSlab:
     """Columnar output buffer with an atomic row cursor (Partition analog)."""
 

@@ -63,8 +63,10 @@ class SumTpu:
         rpr, n_rounds = round_geometry(b, d, n)
         per_round = d * rpr
 
+        from .. import native
+
         def stage(r):
-            return np.stack(
+            return native.parallel_stack(
                 [np.asarray(self.table[r * per_round + i][self.column])
                  for i in range(per_round)]
             ).reshape(d, -1)

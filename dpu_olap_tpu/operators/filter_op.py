@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..columnar import Table
+from ..metrics import device_log
 from ..ops.filter import FILTER_THRESHOLD, filter_compact
 from ..parallel.mesh import AXIS, DeviceSet
 from ..timer import Timers, timed
@@ -75,14 +76,17 @@ class FilterTpu:
         n = self.table[0].num_rows
         per_round = d * rpr
 
+        from .. import native
+
         def stage(r):
-            # host staging: slice + stack this round's batches (background
-            # thread, overlapped with the previous round's device work)
+            # host staging: native threaded stack of this round's batches
+            # (background thread + parallel memcpy, overlapped with the
+            # previous round's device work)
             rows = [
                 np.asarray(self.table[r * per_round + i][self.column])
                 for i in range(per_round)
             ]
-            return np.stack(rows).reshape(d, rpr, n)
+            return native.parallel_stack(rows).reshape(d, rpr, n)
 
         def dispatch(r, staged):
             dev = self.ds.scatter(staged)
@@ -92,6 +96,9 @@ class FilterTpu:
             padded, counts = handle
             flat_h = np.asarray(padded).reshape(d, -1)
             counts_h = np.asarray(counts).reshape(d, rpr)
+            # per-device log streaming (DpuSet::log analog) — one line per
+            # device with its batch result counts, gated on ENABLE_LOG
+            device_log(f"filter round {r} result counts", counts_h)
             chunks = []
             for dev_i in range(d):
                 off = 0

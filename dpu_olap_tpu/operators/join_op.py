@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..columnar import Table
+from ..metrics import device_log
 from ..config import FLAGS
 from ..ops.hashtable import EMPTY
 from ..parallel.dist_join import dist_join
@@ -138,10 +139,15 @@ class JoinTpu:
                 )
                 if not np.any(np.asarray(overflow)):
                     break
+                device_log(
+                    f"join shuffle overflow (attempt {attempt})",
+                    np.asarray(overflow),
+                )
                 cell_l, cell_r = cell_l * 2, cell_r * 2
             else:
                 raise OverflowError("shuffle cell overflow after retries")
             m = np.asarray(matched)
+        device_log("join matched rows", m.reshape(self.ds.nr_devices, -1).sum(1))
         out = {self.fk: np.asarray(fk)[m]}
         for name, col in zip(self.left_cols, lcols):
             out[name] = np.asarray(col)[m]

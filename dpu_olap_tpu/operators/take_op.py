@@ -55,12 +55,14 @@ class TakeTpu:
         k = self.indices[0].num_rows
         per_round = d * rpr
 
+        from .. import native
+
         def stage(r):
-            data = np.stack(
+            data = native.parallel_stack(
                 [np.asarray(self.data[r * per_round + i][self.data_col])
                  for i in range(per_round)]
             ).reshape(d, rpr, n)
-            idx = np.stack(
+            idx = native.parallel_stack(
                 [np.asarray(self.indices[r * per_round + i][self.idx_col])
                  for i in range(per_round)]
             ).reshape(d, rpr, k)

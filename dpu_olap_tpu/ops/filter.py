@@ -92,7 +92,9 @@ def filter_compact(
 
         if predicate is not default_predicate:
             raise ValueError("pallas filter supports the threshold predicate only")
-        return filter_pallas_padded(values, fill=fill)
+        # ENABLE_TRACE=1 streams per-block kernel progress via pl.debug_print
+        # (the reference's device trace() printf, shared/umq/log.h:13-17)
+        return filter_pallas_padded(values, fill=fill, trace=FLAGS.enable_trace)
     return _filter_compact_xla(values, predicate, impl, fill)
 
 

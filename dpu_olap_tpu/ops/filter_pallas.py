@@ -117,7 +117,7 @@ def run_butterfly(work_planes, work_d, wrows):
         s *= 2
 
 
-def _filter_kernel(threshold, with_indices, x_ref, *refs):
+def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
     # refs: outputs (out, [sel_out], count), scratch (work_v, [work_s],
     # work_d, rowbuf, [rowbuf_s], off_ref, sem)
     n_out = 2 if with_indices else 1
@@ -145,6 +145,10 @@ def _filter_kernel(threshold, with_indices, x_ref, *refs):
     blk = x_ref[:]  # (R, 128) uint32
     mask = (blk < jnp.uint32(threshold)).astype(jnp.int32)
     cnt = jnp.sum(mask)
+    if trace:
+        # device-side trace stream (reference trace(), shared/umq/log.h:13-17
+        # with ENABLE_TRACE=1): per-block progress through the compaction
+        pl.debug_print("filter block {} offset {} kept {}", i, offset, cnt)
 
     # destination q = prefix-1 + phase over the (R+SKEW,128) working buffer;
     # packets start at row SKEW (skew SKEW*128 > 127), so d > 0 always.
@@ -184,12 +188,15 @@ def _filter_kernel(threshold, with_indices, x_ref, *refs):
         count_ref[0] = offset + cnt
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "block_rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "block_rows", "interpret", "trace")
+)
 def filter_compact_pallas(
     values: jnp.ndarray,
     threshold=None,
     block_rows: int = DEF_R,
     interpret: bool = False,
+    trace: bool = False,
 ):
     """Stable compaction of values < threshold; returns (padded, count).
 
@@ -208,7 +215,7 @@ def filter_compact_pallas(
     x = values.reshape(nrows, LANES)
 
     out, count = pl.pallas_call(
-        functools.partial(_filter_kernel, int(threshold), False),
+        functools.partial(_filter_kernel, int(threshold), False, trace),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -236,12 +243,15 @@ def filter_compact_pallas(
     return out[:nrows].reshape(n), count[0].astype(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "block_rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "block_rows", "interpret", "trace")
+)
 def filter_with_indices_pallas(
     values: jnp.ndarray,
     threshold=None,
     block_rows: int = DEF_R,
     interpret: bool = False,
+    trace: bool = False,
 ):
     """Selection-vector variant: compacts values AND their original row
     indices in the same pass (the indices ride the butterfly as a second
@@ -259,7 +269,7 @@ def filter_with_indices_pallas(
     x = values.reshape(nrows, LANES)
 
     out, sel, count = pl.pallas_call(
-        functools.partial(_filter_kernel, int(threshold), True),
+        functools.partial(_filter_kernel, int(threshold), True, trace),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -302,8 +312,9 @@ def filter_compact_pallas_clean(values, threshold=None, interpret: bool = False)
     return jnp.where(lane < count, out, 0), count
 
 
-@functools.partial(jax.jit, static_argnames=("fill", "interpret"))
-def filter_pallas_padded(values, fill: int = 0, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("fill", "interpret", "trace"))
+def filter_pallas_padded(values, fill: int = 0, interpret: bool = False,
+                         trace: bool = False):
     """Arbitrary-length wrapper with the ops.filter.filter_compact contract:
     pads to the kernel's block multiple with all-fail sentinels (0xFFFFFFFF
     fails v < 2^30), compacts, slices back, poisons the tail to ``fill``."""
@@ -313,7 +324,7 @@ def filter_pallas_padded(values, fill: int = 0, interpret: bool = False):
     x = values
     if pad:
         x = jnp.concatenate([values, jnp.full((pad,), 0xFFFFFFFF, values.dtype)])
-    out, count = filter_compact_pallas(x, interpret=interpret)
+    out, count = filter_compact_pallas(x, interpret=interpret, trace=trace)
     out = out[:n]
     lane = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 0)
     return jnp.where(lane < count, out, values.dtype.type(fill)), count

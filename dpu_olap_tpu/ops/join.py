@@ -276,7 +276,7 @@ def join_shard_auto(
 ):
     """Single-shard join with host-detected workload structure:
 
-      pk_sorted & keys31 & 1 payload/side -> sorted-build bitonic-merge join
+      pk_sorted & keys31 -> sorted-build bitonic-merge join
           (ops/merge_xla.py): sort(n_l) + log2(N)-stage merge instead of
           sort(n_l+n_r). The reference's sequential-index pk
           (generator.cc:59-71) always takes this path.
@@ -286,12 +286,7 @@ def join_shard_auto(
     Operators detect both flags on the host-resident key columns (numpy
     scans in Prepare); measured on v5e at 2Mi x 2Mi: 5.5ms / 8.0ms / 9.0ms
     for the three tiers."""
-    if (
-        pk_sorted
-        and keys31
-        and len(left_payload) == 1
-        and len(right_payload) == 1
-    ):
+    if pk_sorted and keys31:
         from .merge_xla import join_shard_sorted_build
 
         return join_shard_sorted_build(

@@ -74,24 +74,35 @@ def join_shard_sorted_build(
     """Co-sort join for a SORTED (or to-be-sorted-once) unique-pk build side
     with 31-bit keys: sort the probe side only, bitonic-merge the two runs,
     then the standard fill + mask. Same output contract as join_shard_fused
-    (padded key-sorted rows + matched mask). One payload column per side
-    (merged plane), keys < 2^31 - 1.
+    (padded key-sorted rows + matched mask); like it, payload k of both
+    sides shares one merged plane. keys < 2^31 - 1 (keys31 contract).
     """
     from .hashtable import EMPTY
     from .join import _fill_forward
 
     n_r, n_l = right_pk.shape[0], left_fk.shape[0]
-    assert len(left_payload) == 1 and len(right_payload) == 1
+    m_l, m_r = len(left_payload), len(right_payload)
+    m = max(m_l, m_r)
     pk = right_pk.astype(jnp.uint32)
     fk = left_fk.astype(jnp.uint32)
-    x = right_payload[0].astype(jnp.uint32)
-    y = left_payload[0].astype(jnp.uint32)
+    xs = [
+        right_payload[k].astype(jnp.uint32) if k < m_r
+        else jnp.zeros((n_r,), jnp.uint32)
+        for k in range(m)
+    ]
+    ys = [
+        left_payload[k].astype(jnp.uint32) if k < m_l
+        else jnp.zeros((n_l,), jnp.uint32)
+        for k in range(m)
+    ]
 
     k2_l = (fk << jnp.uint32(1)) | jnp.uint32(1)
-    sl_k, sl_y = jax.lax.sort([k2_l, y], num_keys=1)
+    sorted_l = jax.lax.sort([k2_l, *ys], num_keys=1)
+    sl_k, sl_ys = sorted_l[0], sorted_l[1:]
     k2_r = pk << jnp.uint32(1)
     if not pk_sorted:
-        k2_r, x = jax.lax.sort([k2_r, x], num_keys=1)
+        sorted_r = jax.lax.sort([k2_r, *xs], num_keys=1)
+        k2_r, xs = sorted_r[0], list(sorted_r[1:])
 
     n = n_r + n_l
     pad = (1 << (n - 1).bit_length()) - n
@@ -100,15 +111,22 @@ def join_shard_sorted_build(
     zk = jnp.concatenate(
         [k2_r, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32), sl_k[::-1]]
     )
-    zp = jnp.concatenate([x, jnp.zeros((pad,), jnp.uint32), sl_y[::-1]])
-    sk2, sm = bitonic_merge((zk, zp))
+    zps = [
+        jnp.concatenate([x, jnp.zeros((pad,), jnp.uint32), sy[::-1]])
+        for x, sy in zip(xs, sl_ys)
+    ]
+    merged = bitonic_merge((zk, *zps))
+    sk2, sms = merged[0], merged[1:]
     sk = sk2 >> jnp.uint32(1)
     is_pk = (sk2 & jnp.uint32(1)) == 0
     sk = jnp.where(sk2 >= jnp.uint32(0xFFFFFFFE), EMPTY, sk)
 
-    pkey, px = _fill_forward((jnp.where(is_pk, sk, EMPTY), sm))
+    propagated = _fill_forward(
+        (jnp.where(is_pk, sk, EMPTY),) + tuple(sms[:m_r])
+    )
+    pkey, prcols = propagated[0], propagated[1:]
     has = pkey != jnp.uint32(EMPTY)
     matched = has & (pkey == sk) & (~is_pk) & (sk != EMPTY)
-    out_l = (jnp.where(matched, sm, 0),)
-    out_r = (jnp.where(matched, px, 0),)
+    out_l = tuple(jnp.where(matched, sms[k], 0) for k in range(m_l))
+    out_r = tuple(jnp.where(matched, c, 0) for c in prcols)
     return jnp.where(matched, sk, 0), out_l, out_r, matched

@@ -48,12 +48,20 @@ def stream_rounds(
     results: List[object] = []
     pending: List[tuple] = []
 
+    def timed_stage(r):
+        # "stage" accumulates pure host-staging time on the worker thread;
+        # comparing sum(stage) + sum(collect) against the pipeline's wall
+        # time is the measured-overlap evidence (the reference's async rank
+        # chains hide copy-in the same way, dpuext.hpp:859-899).
+        with timed(timers, "stage", r):
+            return stage(r)
+
     with ThreadPoolExecutor(max_workers=1) as pool:
-        nxt = pool.submit(stage, 0)
+        nxt = pool.submit(timed_stage, 0)
         for r in range(n_rounds):
             staged = nxt.result()
             if r + 1 < n_rounds:
-                nxt = pool.submit(stage, r + 1)
+                nxt = pool.submit(timed_stage, r + 1)
             with timed(timers, "dispatch", r):
                 pending.append((r, dispatch(r, staged)))
             while len(pending) > max_inflight:

@@ -214,3 +214,30 @@ def test_join_sorted_build_unsorted_pk(rng):
         jnp.asarray(fk), (jnp.asarray(y),), jnp.asarray(pk), (jnp.asarray(x),),
         keys31=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_join_sorted_build_multi_payload(rng):
+    from dpu_olap_tpu.ops.merge_xla import join_shard_sorted_build
+    from dpu_olap_tpu.ops.join import join_shard_fused
+
+    n_r, n_l = 1 << 10, 1 << 11
+    pk = np.sort(rng.choice(np.uint32(1 << 18), n_r, replace=False)).astype(np.uint32)
+    fk = pk[rng.integers(0, n_r, n_l)]
+    xs = tuple(rng.integers(0, 2**32, n_r, dtype=np.uint32) for _ in range(2))
+    ys = tuple(rng.integers(0, 2**32, n_l, dtype=np.uint32) for _ in range(1))
+
+    def canon(res):
+        fko, lcols, rcols, m = res
+        m = np.asarray(m)
+        rows = np.stack([np.asarray(fko)[m]]
+                        + [np.asarray(c)[m] for c in lcols]
+                        + [np.asarray(c)[m] for c in rcols])
+        return rows[:, np.lexsort(rows[::-1])]
+
+    a = canon(join_shard_sorted_build(
+        jnp.asarray(fk), tuple(map(jnp.asarray, ys)),
+        jnp.asarray(pk), tuple(map(jnp.asarray, xs))))
+    b = canon(join_shard_fused(
+        jnp.asarray(fk), tuple(map(jnp.asarray, ys)),
+        jnp.asarray(pk), tuple(map(jnp.asarray, xs)), keys31=True))
+    np.testing.assert_array_equal(a, b)
