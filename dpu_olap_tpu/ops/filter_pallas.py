@@ -94,26 +94,30 @@ def _shift_down(arr, s, rows):
 def run_butterfly(work_planes, work_d, wrows):
     """Concentrate packets held in ``work_planes`` (scratch refs) to their
     destinations: work_d holds each slot's remaining routing distance, with
-    d < 0 marking holes (no validity plane — one fewer shifted array per
-    level). Level b moves packets whose d-bit b is set down 2^b slots; on
-    completion placed packets sit at their targets with d == 0.
+    d == 0 marking holes AND placed packets (both mean "nothing to move" —
+    the network never needs to tell them apart, and callers guarantee real
+    packets start with d > 0 via the SKEW landing strip). Level b moves
+    packets whose d-bit b is set down 2^b slots.
+
+    The 0-encoding makes wrap-around reads self-masking, dropping the old
+    in-range test and the cd >= 0 guard (2 vector ops/level): a slot q near
+    the buffer end reads wrapped source position q + s - total < s, and ANY
+    packet at a position p < s has d-bit s clear (p = dst + residual and a
+    set bit s forces residual >= s, hence p >= s), so take is false there.
     Shared by the filter and partition kernels."""
-    wflat = _row_iota((wrows, LANES)) * LANES + _lane_iota((wrows, LANES))
     total = wrows * LANES
     s = 1
     while s < total:
         d = work_d[:]
-        in_range = (wflat + s) < total
-        cd = jnp.where(in_range, _shift_down(d, s, wrows), -1)
-        take = (cd >= 0) & ((cd & s) != 0)
+        cd = _shift_down(d, s, wrows)
+        # a set bit always moves its packet out (conflict-free network), so
+        # no d >= 0 / hole guard is needed: holes and placed packets are 0.
+        take = (cd & s) != 0
         for w in work_planes:
             v = w[:]
             w[:] = jnp.where(take, _shift_down(v, s, wrows), v)
-        # new distance: taken slots get cd-s; a slot keeps d only when d >= 0
-        # with bit s clear — holes (-1, all bits set) fail (d & s) == 0, and
-        # a set bit always moves its packet out (conflict-free network), so
-        # the d >= 0 guard is redundant.
-        work_d[:] = jnp.where(take, cd - s, jnp.where((d & s) == 0, d, -1))
+        if s * 2 < total:  # the final level's distances are never re-read
+            work_d[:] = jnp.where(take, cd - s, jnp.where((d & s) == 0, d, 0))
         s *= 2
 
 
@@ -154,7 +158,7 @@ def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
     # packets start at row SKEW (skew SKEW*128 > 127), so d > 0 always.
     prefix = _inclusive_scan_rowmajor(mask)
     flat = _row_iota((r, LANES)) * LANES + _lane_iota((r, LANES))
-    d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), -1)
+    d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), 0)
 
     # lay into working planes (rows 0..SKEW-1 = empty landing strip)
     planes = [blk]
@@ -163,7 +167,7 @@ def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
     for w, p in zip(works, planes):
         w[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
         w[pl.ds(SKEW, r)] = p
-    work_d[pl.ds(0, SKEW)] = jnp.full((SKEW, LANES), -1, jnp.int32)
+    work_d[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
     work_d[pl.ds(SKEW, r)] = d_blk
 
     run_butterfly(works, work_d, wrows)

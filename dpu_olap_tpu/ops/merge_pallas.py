@@ -216,7 +216,9 @@ def _merge_probe_kernel(n_pay, r, n_rchunks, left_ref, left_rev_ref, right_keys,
         is_probe = 1 - is_build
         prefix = _inclusive_scan_rowmajor(is_probe)
         flat2 = _row_iota((rows2, LANES)) * LANES + _lane_iota((rows2, LANES))
-        d = jnp.where(is_probe == 1, flat2 - (prefix - 1), -1)
+        # hole encoding 0 (run_butterfly's contract): probe packets move
+        # down by d >= 0; d == 0 (already placed) and holes coincide safely.
+        d = jnp.where(is_probe == 1, flat2 - (prefix - 1), 0)
         route[0][:] = phas.astype(jnp.uint32)
         route[1][:] = pvals[0]
         for k in range(n_pay):

@@ -100,13 +100,13 @@ def _partition_kernel(
         row0 = jax.lax.div(off, LANES)
 
         prefix = _inclusive_scan_rowmajor(mask)
-        d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), -1)
+        d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), 0)
 
         planes = [blk, sel, *pays]
         for k in range(n_planes):
             work[k][pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
             work[k][pl.ds(SKEW, r)] = planes[k]
-        work_d[pl.ds(0, SKEW)] = jnp.full((SKEW, LANES), -1, jnp.int32)
+        work_d[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
         work_d[pl.ds(SKEW, r)] = d_blk
 
         run_butterfly(work, work_d, wrows)

@@ -1,0 +1,167 @@
+"""Bitonic sort machinery tests (interpret mode, small blocks).
+
+Differential vs numpy: keys must sort exactly; payloads must follow their
+key (checked via a payload that is a bijection of position, verifying the
+(key, payload) multiset is preserved and keys are ordered). The bitonic
+network is not stable, so equal keys may swap payloads — tests use either
+unique keys (exact payload check) or verify pair-multiset equality.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpu_olap_tpu.ops.sort_pallas import (
+    LANES,
+    bitonic_cascade_blocks,
+    bitonic_xblock,
+    sort_bitonic,
+    sortable_bitonic,
+)
+
+BR = 8  # small cascade blocks in tests: 1Ki elements per block
+BLK = BR * LANES
+
+
+def _pairs(k, p):
+    return set(zip(k.tolist(), p.tolist()))
+
+
+def _np_bitonic_segments(rng, n, seg, key_hi=2**32):
+    """Random array whose seg-length segments are each bitonic
+    (ascending first half, descending second half)."""
+    k = rng.integers(0, key_hi, n).astype(np.uint32)
+    for s in range(0, n, seg):
+        h = seg // 2
+        k[s : s + h] = np.sort(k[s : s + h])
+        k[s + h : s + seg] = np.sort(k[s + h : s + seg])[::-1]
+    return k
+
+
+def check_sorted_segments(out_k, seg, alternating):
+    for si, s in enumerate(range(0, len(out_k), seg)):
+        segk = out_k[s : s + seg]
+        if alternating and si % 2 == 1:
+            segk = segk[::-1]
+        assert np.all(segk[1:] >= segk[:-1]), f"segment {si} unsorted"
+
+
+@pytest.mark.parametrize("segs,alternating", [(1, False), (2, True), (4, True)])
+def test_cascade_blocks_merges_bitonic(rng, segs, alternating):
+    # one cascade block per segment: full in-block merge
+    n = segs * BLK
+    k = _np_bitonic_segments(rng, n, BLK)
+    p = np.arange(n, dtype=np.uint32)
+    out = bitonic_cascade_blocks(
+        (jnp.asarray(k), jnp.asarray(p)),
+        start_d=BLK // 2,
+        seg_len=BLK,
+        alternating=alternating,
+        block_rows=BR,
+        interpret=True,
+    )
+    ok, op = np.asarray(out[0]), np.asarray(out[1])
+    check_sorted_segments(ok, BLK, alternating)
+    assert _pairs(ok, op) == _pairs(k, p)
+
+
+def test_cascade_sub_block_segments(rng):
+    # segments smaller than the cascade block: direction alternates within
+    # one kernel block (grow//seg_rows path), incl. the lane-roll stages
+    n = 4 * BLK
+    seg = BLK // 2
+    k = _np_bitonic_segments(rng, n, seg)
+    p = np.arange(n, dtype=np.uint32)
+    out = bitonic_cascade_blocks(
+        (jnp.asarray(k), jnp.asarray(p)),
+        start_d=seg // 2,
+        seg_len=seg,
+        alternating=True,
+        block_rows=BR,
+        interpret=True,
+    )
+    ok, op = np.asarray(out[0]), np.asarray(out[1])
+    check_sorted_segments(ok, seg, True)
+    assert _pairs(ok, op) == _pairs(k, p)
+
+
+@pytest.mark.parametrize("m,segs,alternating", [(2, 1, False), (2, 2, True),
+                                                (4, 2, True), (8, 1, False)])
+def test_xblock_plus_cascade_full_merge(rng, m, segs, alternating):
+    # m cascade blocks per segment: cross-block stages then in-block cascade
+    # must equal a full segment merge
+    seg = m * BLK
+    n = segs * seg
+    k = _np_bitonic_segments(rng, n, seg)
+    p = np.arange(n, dtype=np.uint32)
+    mid = bitonic_xblock(
+        (jnp.asarray(k), jnp.asarray(p)),
+        seg_len=seg,
+        low_d=BLK,
+        alternating=alternating,
+        interpret=True,
+    )
+    out = bitonic_cascade_blocks(
+        mid,
+        start_d=BLK // 2,
+        seg_len=seg,
+        alternating=alternating,
+        block_rows=BR,
+        interpret=True,
+    )
+    ok, op = np.asarray(out[0]), np.asarray(out[1])
+    check_sorted_segments(ok, seg, alternating)
+    assert _pairs(ok, op) == _pairs(k, p)
+
+
+@pytest.mark.parametrize("n_leaves", [2, 4, 8, 32])
+def test_sort_bitonic_unique_keys(rng, n_leaves):
+    leaf = 512
+    n = n_leaves * leaf
+    assert sortable_bitonic(n, leaf)
+    k = rng.choice(2**32, size=n, replace=False).astype(np.uint32)
+    p = np.arange(n, dtype=np.uint32)
+    out = sort_bitonic(
+        (jnp.asarray(k), jnp.asarray(p)), leaf=leaf, block_rows=BR,
+        interpret=True,
+    )
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out[0]), k[order])
+    np.testing.assert_array_equal(np.asarray(out[1]), p[order])
+
+
+def test_sort_bitonic_duplicate_keys(rng):
+    leaf = 512
+    n = 16 * leaf
+    k = rng.integers(0, 64, n).astype(np.uint32)  # heavy duplicates
+    p = np.arange(n, dtype=np.uint32)
+    out = sort_bitonic(
+        (jnp.asarray(k), jnp.asarray(p)), leaf=leaf, block_rows=BR,
+        interpret=True,
+    )
+    ok, op = np.asarray(out[0]), np.asarray(out[1])
+    np.testing.assert_array_equal(ok, np.sort(k))
+    assert _pairs(ok, op) == _pairs(k, p)
+
+
+def test_sort_bitonic_two_payloads(rng):
+    leaf = 512
+    n = 8 * leaf
+    k = rng.choice(2**31, size=n, replace=False).astype(np.uint32)
+    p1 = np.arange(n, dtype=np.uint32)
+    p2 = (p1 * np.uint32(2654435761)) & np.uint32(0xFFFFFFFF)
+    out = sort_bitonic(
+        (jnp.asarray(k), jnp.asarray(p1), jnp.asarray(p2)),
+        leaf=leaf, block_rows=BR, interpret=True,
+    )
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out[0]), k[order])
+    np.testing.assert_array_equal(np.asarray(out[1]), p1[order])
+    np.testing.assert_array_equal(np.asarray(out[2]), p2[order])
+
+
+def test_sortable_bitonic():
+    assert sortable_bitonic(1 << 21)
+    assert not sortable_bitonic((1 << 21) - 128)  # not a power of two
+    assert not sortable_bitonic(8192)  # < 2 leaves
+    assert sortable_bitonic(1024, leaf=256)
