@@ -120,16 +120,26 @@ def main():
     # phase attribution runs on one reference batch (phases are per batch)
     lf0, ly0, rk0, rx0 = lf[0], ly[0], rk[0], rx[0]
 
+    # mirror the production sort selection (merge_xla._sort): the Pallas
+    # merge-tree sort on eligible shapes, flat lax.sort otherwise
+    from dpu_olap_tpu.ops.filter import _on_tpu
+    from dpu_olap_tpu.ops.sort_pallas import sort_bitonic, sortable_bitonic
+
+    def _sort(ops):
+        if _on_tpu() and sortable_bitonic(ops[0].shape[0]):
+            return list(sort_bitonic(tuple(ops)))
+        return jax.lax.sort(ops, num_keys=1)
+
     def phase_sort(c):
         # probe-side sort only (merge path) / full concat sort (fused path)
         if use_merge:
             k2 = (c << jnp.uint32(1)) | jnp.uint32(1)
-            out = jax.lax.sort([k2, ly0], num_keys=1)
+            out = _sort([k2, ly0])
         elif keys31:
             k2 = jnp.concatenate(
                 [rk0 << jnp.uint32(1), (c << jnp.uint32(1)) | jnp.uint32(1)]
             )
-            out = jax.lax.sort([k2, jnp.concatenate([rx0, ly0])], num_keys=1)
+            out = _sort([k2, jnp.concatenate([rx0, ly0])])
         else:
             side = jnp.concatenate(
                 [jnp.zeros((per,), jnp.int32), jnp.ones((per,), jnp.int32)]
@@ -147,7 +157,7 @@ def main():
             from dpu_olap_tpu.ops.merge_xla import bitonic_merge
 
             k2 = (c << jnp.uint32(1)) | jnp.uint32(1)
-            sl_k, sl_y = jax.lax.sort([k2, ly0], num_keys=1)
+            sl_k, sl_y = _sort([k2, ly0])
             n2 = 2 * per
             pad = (1 << (n2 - 1).bit_length()) - n2
             sk2, sm = bitonic_merge(
@@ -162,7 +172,7 @@ def main():
             k2 = jnp.concatenate(
                 [rk0 << jnp.uint32(1), (c << jnp.uint32(1)) | jnp.uint32(1)]
             )
-            sk2, sm = jax.lax.sort([k2, jnp.concatenate([rx0, ly0])], num_keys=1)
+            sk2, sm = _sort([k2, jnp.concatenate([rx0, ly0])])
             is_pk = (sk2 & jnp.uint32(1)) == 0
             sk = sk2 >> jnp.uint32(1)
         else:

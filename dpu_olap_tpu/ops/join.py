@@ -179,7 +179,17 @@ def join_shard_fused(
         k2 = jnp.concatenate(
             [pk << jnp.uint32(1), (fkk << jnp.uint32(1)) | jnp.uint32(1)]
         )
-        sorted_all = jax.lax.sort([k2, *merged], num_keys=1)
+        # With side packed into the key, stability is irrelevant, so the
+        # ~2x-faster Pallas merge-tree sort applies (ops/sort_pallas.py);
+        # the generic path below relies on lax.sort's stability for
+        # pk-before-equal-fk and must keep the flat sort.
+        from .filter import _on_tpu
+        from .sort_pallas import sort_bitonic, sortable_bitonic
+
+        if _on_tpu() and sortable_bitonic(k2.shape[0]):
+            sorted_all = sort_bitonic((k2, *merged))
+        else:
+            sorted_all = jax.lax.sort([k2, *merged], num_keys=1)
         sk2 = sorted_all[0]
         smerged = sorted_all[1:]
         sk = sk2 >> jnp.uint32(1)

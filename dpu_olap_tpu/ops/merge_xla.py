@@ -34,30 +34,25 @@ def bitonic_merge(planes: Tuple[jnp.ndarray, ...], interpret: bool = False):
     must be a power of two (callers pad with 0xFFFFFFFF keys).
 
     Stage split (measured — a naive per-stage XLA loop costs 36.7ms at 4Mi
-    because sub-128 distances force sub-lane-width layouts): stages with
-    d >= BLOCK run as layout-clean 2-D slice/concat passes; all stages with
-    d < BLOCK fuse into one Pallas pass (ops/bitonic_pallas.py)."""
-    from .bitonic_pallas import DEF_R, LANES, bitonic_merge_blocks
+    because sub-128 distances force sub-lane-width layouts; XLA slice/concat
+    passes for d >= BLOCK cost ~1.0ms at 4Mi as 6 full HBM materializations,
+    MEASURE_MERGE.json): stages with d >= BLOCK fuse into ONE Pallas pass
+    (ops/sort_pallas.bitonic_xblock — whole-block compare-exchange, VMEM
+    resident); all stages with d < BLOCK fuse into another
+    (ops/bitonic_pallas.py)."""
+    from .bitonic_pallas import DEF_R, bitonic_merge_blocks
+    from .sort_pallas import bitonic_xblock
 
     n = planes[0].shape[0]
     assert n & (n - 1) == 0, f"bitonic_merge needs power-of-2 length, got {n}"
-    planes = list(planes)
-    block = DEF_R * LANES
-    d = n // 2
-    while d >= block:
-        shaped = [p.reshape(-1, 2 * d) for p in planes]
-        lo_k, hi_k = shaped[0][:, :d], shaped[0][:, d:]
-        m = lo_k <= hi_k
-        out = []
-        for p in shaped:
-            lo, hi = p[:, :d], p[:, d:]
-            nlo = jnp.where(m, lo, hi)
-            nhi = jnp.where(m, hi, lo)
-            out.append(jnp.concatenate([nlo, nhi], axis=1).reshape(n))
-        planes = out
-        d //= 2
+    block = DEF_R * 128
+    if n > block:
+        planes = bitonic_xblock(
+            tuple(planes), seg_len=n, low_d=block, interpret=interpret
+        )
     if n >= block:
         return bitonic_merge_blocks(tuple(planes), interpret=interpret)
+    planes = list(planes)
     # tiny inputs: finish with a plain sort (test-scale only)
     out = jax.lax.sort(planes, num_keys=1)
     return tuple(out)
@@ -96,12 +91,24 @@ def join_shard_sorted_build(
         for k in range(m)
     ]
 
+    # Probe-side sort: the Pallas bitonic merge-tree sort beats the flat XLA
+    # sort ~2x on v5e (ops/sort_pallas.py docstring) whenever the shape is
+    # eligible; ties (equal fks) may permute payloads — interchangeable rows
+    # under the padded key-sorted output contract.
+    from .filter import _on_tpu
+    from .sort_pallas import sort_bitonic, sortable_bitonic
+
+    def _sort(ops):
+        if _on_tpu() and sortable_bitonic(ops[0].shape[0]):
+            return list(sort_bitonic(tuple(ops)))
+        return jax.lax.sort(ops, num_keys=1)
+
     k2_l = (fk << jnp.uint32(1)) | jnp.uint32(1)
-    sorted_l = jax.lax.sort([k2_l, *ys], num_keys=1)
+    sorted_l = _sort([k2_l, *ys])
     sl_k, sl_ys = sorted_l[0], sorted_l[1:]
     k2_r = pk << jnp.uint32(1)
     if not pk_sorted:
-        sorted_r = jax.lax.sort([k2_r, *xs], num_keys=1)
+        sorted_r = _sort([k2_r, *xs])
         k2_r, xs = sorted_r[0], list(sorted_r[1:])
 
     n = n_r + n_l

@@ -165,3 +165,20 @@ def test_sortable_bitonic():
     assert not sortable_bitonic((1 << 21) - 128)  # not a power of two
     assert not sortable_bitonic(8192)  # < 2 leaves
     assert sortable_bitonic(1024, leaf=256)
+
+
+def test_bitonic_merge_xblock_path(rng):
+    # n > DEF_R*128 engages the fused cross-block stage kernel inside
+    # merge_xla.bitonic_merge (the TPU big-d path), in interpret mode
+    from dpu_olap_tpu.ops.merge_xla import bitonic_merge
+
+    n = 1 << 17  # 2 x 64Ki cascade blocks
+    h = n // 2
+    k = rng.integers(0, 2**32, n).astype(np.uint32)
+    k[:h] = np.sort(k[:h])
+    k[h:] = np.sort(k[h:])[::-1]  # bitonic input
+    p = np.arange(n, dtype=np.uint32)
+    ok, op = bitonic_merge((jnp.asarray(k), jnp.asarray(p)), interpret=True)
+    ok, op = np.asarray(ok), np.asarray(op)
+    assert np.all(ok[1:] >= ok[:-1])
+    assert _pairs(ok, op) == _pairs(k, p)
