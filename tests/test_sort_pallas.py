@@ -163,7 +163,7 @@ def test_sort_bitonic_two_payloads(rng):
 def test_sortable_bitonic():
     assert sortable_bitonic(1 << 21)
     assert not sortable_bitonic((1 << 21) - 128)  # not a power of two
-    assert not sortable_bitonic(8192)  # < 2 leaves
+    assert not sortable_bitonic(4096)  # < 2 leaves
     assert sortable_bitonic(1024, leaf=256)
 
 
