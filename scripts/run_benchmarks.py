@@ -171,6 +171,93 @@ def main():
 
         record("partition_kernel_p8", bench_host(run), n)
 
+    # device-resident kernel timings (the reference's nb_cycles counter
+    # analog, filter_benchmark.cc:134-136): chained-difference timing of the
+    # per-shard device program, excluding host<->device transfer — through
+    # the axon tunnel the *_tpu operator wall times above are dominated by
+    # ~30ms RPC syncs and ~30MB/s readback, so these are the numbers
+    # comparable to per-device roofline (BASELINE.md).
+    if pat.search("kernel"):
+        import jax
+        import jax.numpy as jnp
+
+        from dpu_olap_tpu.bench.device_time import time_chained
+        from dpu_olap_tpu.ops.filter import _on_tpu
+
+        rng = np.random.default_rng(42)
+
+        def rehash(v):
+            v = (v ^ jnp.uint32(61)) ^ (v >> jnp.uint32(16))
+            return v * jnp.uint32(0x27D4EB2D)
+
+        if pat.search("filter_kernel") and _on_tpu():
+            from dpu_olap_tpu.ops.filter_pallas import filter_compact_pallas
+
+            n = sf * (1 << 23)  # the reference device buffer is 8Mi items
+            x = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+            jax.block_until_ready(x)
+
+            def fstep(c):
+                out, cnt = filter_compact_pallas(c)
+                return rehash(out ^ cnt)
+
+            record("filter_kernel", time_chained(fstep, x, k=8), n)
+
+        if pat.search("sum_kernel"):
+            from dpu_olap_tpu.ops.aggregate import sum_u64_pair
+
+            n = sf * (1 << 23)
+            x = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+            jax.block_until_ready(x)
+
+            def sstep(c):
+                lo, hi = sum_u64_pair(c)
+                return c ^ lo.astype(jnp.uint32) ^ hi.astype(jnp.uint32)
+
+            record("sum_kernel", time_chained(sstep, x, k=8), n)
+
+        if pat.search("take_kernel"):
+            from dpu_olap_tpu.ops.take import take
+
+            n = sf * (1 << 22)
+            ni = sf * (1 << 19)
+            data = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+            idx = jnp.asarray(
+                rng.integers(0, n, ni, dtype=np.uint32)
+            ).astype(jnp.int32)
+            jax.block_until_ready((data, idx))
+
+            def tstep(c):
+                out = take(data, c)
+                return c ^ (out & jnp.uint32(1)).astype(jnp.int32)
+
+            record("take_kernel", time_chained(tstep, idx, k=8), ni)
+
+        if pat.search("join_kernel"):
+            from dpu_olap_tpu.generator import make_join_tables as _mjt
+            from dpu_olap_tpu.ops.join import join_shard_auto
+
+            per = sf * (1 << 21)
+            lt, rt = _mjt(1, per, per)
+            lf = jnp.asarray(np.asarray(lt[0]["fk"]))
+            ly = jnp.asarray(np.asarray(lt[0]["y"]))
+            rk = jnp.asarray(np.asarray(rt[0]["pk"]))
+            rx = jnp.asarray(np.asarray(rt[0]["x"]))
+            jax.block_until_ready((lf, ly, rk, rx))
+
+            def jstep(c):
+                fk, (y,), (x_,), m = join_shard_auto(
+                    c, (ly,), rk, (rx,), keys31=True, pk_sorted=True
+                )
+                return (
+                    (fk[:per] & jnp.uint32(1))
+                    ^ y[:per]
+                    ^ x_[:per]
+                    ^ m[:per].astype(jnp.uint32)
+                )
+
+            record("join_kernel", time_chained(jstep, lf, k=4), per)
+
     # native-runtime micro suite (memcpy_benchmark.cc analog)
     if pat.search("memcpy"):
         from dpu_olap_tpu import native
