@@ -26,19 +26,56 @@ import jax.numpy as jnp
 _LANES = 128
 
 
-@jax.jit
-def _take_rows_u32(data: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-    """Row-gather fast path for 1-D 32-bit data, n a multiple of 128.
+_SPLIT_ABOVE = 1 << 21  # 8MB of u32: the measured row-gather rate knee
 
-    Gathers the 128-lane row holding each index, then selects the lane via a
-    one-hot reduction (take_along_axis would be a second element gather —
-    measured 58M idx/s; the one-hot fuses)."""
+
+@jax.jit
+def _take_rows_u32_flat(data: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     n = data.shape[0]
     rows = data.reshape(n // _LANES, _LANES)
     idx = jnp.clip(indices.astype(jnp.int32), 0, n - 1)  # mode="clip" parity
     r = idx >> 7
     lane = idx & jnp.int32(_LANES - 1)
     g = jnp.take(rows, r, axis=0)  # (k, 128) row gather
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (indices.shape[0], _LANES), 1)
+        == lane[:, None]
+    )
+    return jnp.sum(jnp.where(oh, g, 0), axis=1).astype(data.dtype)
+
+
+@jax.jit
+def _take_rows_u32(data: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Row-gather fast path for 1-D 32-bit data, n a multiple of 128.
+
+    Gathers the 128-lane row holding each index, then selects the lane via a
+    one-hot reduction (take_along_axis would be a second element gather —
+    measured 58M idx/s; the one-hot fuses).
+
+    Above 2Mi elements the row-gather rate falls off a cliff (383M rows/s at
+    <=8MB tables vs 88M at 16MB, MEASURE_R2 + round-2 sweep), and one
+    2-way table split recovers much of it: two half-table ROW gathers with
+    clipped local row ids, one row select, then a single one-hot extract —
+    interleaved A/B on the 4Mi BM_Take shape: 88M unsplit, 157M with
+    per-half extracts, 173M with this row-preselect form (4-way splits
+    measured WORSE, 76-96M, so the split is binary). The remaining cost is
+    extract-bound: ~4 vector passes over the (k,128) gathered-row
+    intermediate."""
+    n = data.shape[0]
+    if n <= _SPLIT_ABOVE or n % (2 * _LANES) != 0:
+        return _take_rows_u32_flat(data, indices)
+    h = n // 2
+    hr = h // _LANES
+    idx = jnp.clip(indices.astype(jnp.int32), 0, n - 1)
+    r = idx >> 7
+    lane = idx & jnp.int32(_LANES - 1)
+    ga = jnp.take(
+        data[:h].reshape(hr, _LANES), jnp.minimum(r, hr - 1), axis=0
+    )
+    gb = jnp.take(
+        data[h:].reshape(hr, _LANES), jnp.maximum(r - hr, 0), axis=0
+    )
+    g = jnp.where((r < hr)[:, None], ga, gb)
     oh = (
         jax.lax.broadcasted_iota(jnp.int32, (indices.shape[0], _LANES), 1)
         == lane[:, None]

@@ -158,18 +158,31 @@ def main():
         from dpu_olap_tpu.ops.partition_pallas import partition_cells_pallas
         from dpu_olap_tpu.ops.filter import _on_tpu
 
+        from dpu_olap_tpu.bench.device_time import time_chained as _tc
+
         n = sf * (1 << 21)
         rng = np.random.default_rng(42)
         keys = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
         pay = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
         cell = -(-int(n / 8 * 2) // 128) * 128
         interp = not _on_tpu()
+        jax.block_until_ready((keys, pay))
 
-        def run():
-            out = partition_cells_pallas(keys, (pay,), 8, cell, interpret=interp)
-            jax.block_until_ready(out)
+        # chained device timing: block_until_ready acks at ENQUEUE through
+        # the axon tunnel, so a wall-clock loop here measures dispatch only
+        def pstep(c):
+            cells_k, cells_pay, cells_sel, counts, overflow = (
+                partition_cells_pallas(c, (pay,), 8, cell, interpret=interp)
+            )
+            mix = (
+                cells_k.reshape(-1)[:n]
+                ^ cells_pay[0].reshape(-1)[:n]
+                ^ cells_sel.reshape(-1)[:n]
+                ^ counts.astype(jnp.uint32).sum()
+            )
+            return c ^ (mix & jnp.uint32(1))
 
-        record("partition_kernel_p8", bench_host(run), n)
+        record("partition_kernel_p8", _tc(pstep, keys, k=4), n)
 
     # device-resident kernel timings (the reference's nb_cycles counter
     # analog, filter_benchmark.cc:134-136): chained-difference timing of the
@@ -214,7 +227,9 @@ def main():
                 lo, hi = sum_u64_pair(c)
                 return c ^ lo.astype(jnp.uint32) ^ hi.astype(jnp.uint32)
 
-            record("sum_kernel", time_chained(sstep, x, k=8), n)
+            # k=64: at small k the K->2K difference of this sub-40us op is
+            # noise-dominated and can report impossible >HBM rates
+            record("sum_kernel", time_chained(sstep, x, k=64), n)
 
         if pat.search("take_kernel"):
             from dpu_olap_tpu.ops.take import take
