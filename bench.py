@@ -97,7 +97,9 @@ def main():
         return c ^ accs
 
     _log("timing join (chained)...")
-    join_sec = time_chained(join_step, lf, k=2)
+    # k scales down with SF so the 2K-chain stays ~tens of joins; at SF=1
+    # k=8 keeps the K->2K difference above tunnel noise
+    join_sec = time_chained(join_step, lf, k=max(2, 8 // sf))
     join_rows_per_s = rows / join_sec
     details["join_real_ms"] = join_sec * 1e3
     details["join_rows_per_s"] = join_rows_per_s
@@ -188,8 +190,10 @@ def main():
         return rehash((sk ^ pkey ^ pv)[:per])
 
     _log("timing join phases...")
-    t_sort = time_chained(phase_sort, lf0, k=2)
-    t_mid = time_chained(phase_sort_merge, lf0, k=2)
+    # k=8: at k=2 the K->2K difference is tunnel-noise-dominated and the
+    # subtracted phase deltas can go negative (CLAUDE.md gotchas)
+    t_sort = time_chained(phase_sort, lf0, k=8)
+    t_mid = time_chained(phase_sort_merge, lf0, k=8)
     mid_name = "merge" if use_merge else "propagate"
     details["join_phase_sort_ms"] = t_sort * 1e3
     details[f"join_phase_{mid_name}_ms"] = (t_mid - t_sort) * 1e3

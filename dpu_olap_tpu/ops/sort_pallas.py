@@ -36,7 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-BLOCK_ROWS = 512  # rows per cascade block -> 64Ki elements
+# rows per cascade block -> 128Ki elements; v5e sweep 512/1024/2048 ->
+# 2.27/2.18/VMEM-OOM ms on the 2Mi 2-plane sort (2048 needs 16.4MB > 16MB)
+BLOCK_ROWS = 1024
 LEAF = 4096  # leaf run length for sort_bitonic's batched XLA sort
 # (v5e sweep, 2Mi + 1 payload: leaf 1024/2048/4096/8192/16384 ->
 #  2.45/2.15/1.65/2.10/2.57 ms vs flat XLA 2-op sort 3.38 ms)
@@ -52,17 +54,21 @@ def _unsigned(k):
     return k.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
 
 
-def _xblock_kernel(n_pay, m, alternating, *refs):
+def _xblock_kernel(n_pay, m, alternating, dir_stride, *refs):
     """Cross-block compare-exchange: dim0 of each (M, W, 128) ref indexes the
     M cascade blocks of ONE segment; stages pair dim0 indices at distances
     M/2 .. 1. All slices are static 2-D (W, 128) arrays — no dynamic
-    addressing, no rolls."""
+    addressing, no rolls. dir_stride: consecutive grid segments belonging to
+    the same PARENT bitonic segment (= 1 unless the caller split oversized
+    segments, see bitonic_xblock) share a sort direction."""
     ins = refs[: 1 + n_pay]
     outs = refs[1 + n_pay :]
     s = pl.program_id(0)
 
     if alternating:
-        flip = jnp.where((s % 2) == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        flip = jnp.where(
+            ((s // dir_stride) % 2) == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+        )
     else:
         flip = jnp.uint32(0)
 
@@ -112,7 +118,42 @@ def bitonic_xblock(
     if m == 1:
         return tuple(planes)
     n_pay = len(planes) - 1
-    segs = n // seg_len
+
+    # VMEM cap: the kernel holds m blocks' chunks x (1+n_pay) planes, in and
+    # out. Beyond M_MAX blocks the largest stages run as XLA whole-plane
+    # select passes (one HBM pass each; only log2(m/M_MAX) of them), after
+    # which the remaining network splits into independent aligned groups of
+    # M_MAX blocks that the fused kernel handles — each group inherits its
+    # PARENT segment's sort direction (dir_stride).
+    M_MAX = 64
+    eff_seg = seg_len
+    if m > M_MAX:
+        planes = list(planes)
+        d = (m // 2) * low_d  # element distance of the current stage
+        while d >= M_MAX * low_d:
+            groups = n // (2 * d)
+            shaped = [p.reshape(groups, 2 * d) for p in planes]
+            if alternating:
+                gi = jax.lax.broadcasted_iota(jnp.uint32, (groups, 1), 0)
+                desc = ((gi * (2 * d)) // seg_len) % 2 == 1
+            else:
+                desc = jnp.zeros((groups, 1), jnp.bool_)
+            lo_k, hi_k = shaped[0][:, :d], shaped[0][:, d:]
+            take_lo = (lo_k <= hi_k) ^ desc
+            out = []
+            for p in shaped:
+                lo, hi = p[:, :d], p[:, d:]
+                nlo = jnp.where(take_lo, lo, hi)
+                nhi = jnp.where(take_lo, hi, lo)
+                out.append(jnp.concatenate([nlo, nhi], axis=1).reshape(n))
+            planes = out
+            d //= 2
+        eff_seg = M_MAX * low_d
+        m = M_MAX
+        planes = tuple(planes)
+
+    segs = n // eff_seg
+    dir_stride = seg_len // eff_seg
     vrows = low_d // LANES  # rows per cascade block
     # chunk width: cap VMEM at ~4MB of in-blocks per plane set
     w = max(8, min(vrows, (1 << 20) // (m * LANES * 4 * (1 + n_pay))))
@@ -124,7 +165,7 @@ def bitonic_xblock(
         (m, w, LANES), lambda s_, c: (s_, c, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_xblock_kernel, n_pay, m, alternating),
+        functools.partial(_xblock_kernel, n_pay, m, alternating, dir_stride),
         grid=(segs, vrows // w),
         in_specs=[spec() for _ in v3],
         out_shape=tuple(

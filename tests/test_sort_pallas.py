@@ -182,3 +182,31 @@ def test_bitonic_merge_xblock_path(rng):
     ok, op = np.asarray(ok), np.asarray(op)
     assert np.all(ok[1:] >= ok[:-1])
     assert _pairs(ok, op) == _pairs(k, p)
+
+
+@pytest.mark.parametrize("segs,alternating", [(1, False), (2, True)])
+def test_xblock_oversized_m_xla_fallback(rng, segs, alternating):
+    # m = seg/BLK = 128 > M_MAX=64: the largest stages must run as XLA
+    # passes with per-parent-segment directions before the fused kernel
+    seg = 128 * BLK
+    n = segs * seg
+    k = _np_bitonic_segments(rng, n, seg)
+    p = np.arange(n, dtype=np.uint32)
+    mid = bitonic_xblock(
+        (jnp.asarray(k), jnp.asarray(p)),
+        seg_len=seg,
+        low_d=BLK,
+        alternating=alternating,
+        interpret=True,
+    )
+    out = bitonic_cascade_blocks(
+        mid,
+        start_d=BLK // 2,
+        seg_len=seg,
+        alternating=alternating,
+        block_rows=BR,
+        interpret=True,
+    )
+    ok, op = np.asarray(out[0]), np.asarray(out[1])
+    check_sorted_segments(ok, seg, alternating)
+    assert _pairs(ok, op) == _pairs(k, p)
