@@ -199,7 +199,15 @@ def _cascade_kernel(n_pay, start_d, seg_rows, alternating, *refs):
 
     k = _signed(ins[0][:] ^ flip)
     ps = [p[:] for p in ins[1:]]
+    k, ps = _cascade_stages(k, ps, start_d, r, lane, row)
+    outs[0][:] = _unsigned(k) ^ flip
+    for o, p in zip(outs[1:], ps):
+        o[:] = p
 
+
+def _cascade_stages(k, ps, start_d, r, lane, row):
+    """The shared compare-exchange stage loop d = start_d .. 1 on signed keys
+    k with payload planes ps, all (r, 128) VMEM values."""
     d = start_d
     while d >= 1:
         if d >= LANES:
@@ -234,10 +242,82 @@ def _cascade_kernel(n_pay, start_d, seg_rows, alternating, *refs):
                 )
         ps = new_ps
         d //= 2
+    return k, ps
 
-    outs[0][:] = _unsigned(k) ^ flip
+
+def _cascade_rounds_kernel(n_pay, seg_from, seg_to, *refs):
+    """Multiple full merge rounds fused in VMEM: for seg = seg_from,
+    2*seg_from, .., seg_to run the whole cascade d = seg/2 .. 1 with
+    per-segment alternating directions. Each block must be seg_to-aligned
+    (seg_to <= block elements). The final global round needs no special
+    ascending-override: when seg equals the whole array, every row's
+    (grow // seg_rows) is 0 => no flip."""
+    ins = refs[: 1 + n_pay]
+    outs = refs[1 + n_pay :]
+    r = ins[0].shape[0]
+    i = pl.program_id(0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
+    grow = row + i * r
+
+    k_raw = ins[0][:]
+    ps = [p[:] for p in ins[1:]]
+    seg = seg_from
+    while seg <= seg_to:
+        seg_rows = seg // LANES
+        flip = jnp.where(
+            ((grow // seg_rows) % 2) == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+        )
+        k = _signed(k_raw ^ flip)
+        k, ps = _cascade_stages(k, ps, seg // 2, r, lane, row)
+        k_raw = _unsigned(k) ^ flip
+        seg *= 2
+
+    outs[0][:] = k_raw
     for o, p in zip(outs[1:], ps):
         o[:] = p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seg_from", "seg_to", "block_rows", "interpret"),
+)
+def bitonic_cascade_rounds(
+    planes: tuple,
+    seg_from: int,
+    seg_to: int,
+    block_rows: int = BLOCK_ROWS,
+    interpret: bool = False,
+):
+    """Fused multi-round merge: input whose seg_from/2-length runs are
+    sorted in alternating directions comes out with seg_to-length runs
+    sorted in alternating directions (ascending if seg_to == n), in ONE
+    HBM pass instead of one per round. Requires LANES <= seg_from and
+    seg_to <= block_rows*128 and seg_to | n."""
+    n = planes[0].shape[0]
+    r = block_rows
+    while n % (r * LANES):
+        r //= 2
+    if seg_to > r * LANES:
+        raise ValueError(f"seg_to={seg_to} exceeds block {r * LANES}")
+    assert seg_from >= LANES and seg_to % seg_from == 0
+    nrows = n // LANES
+    n_pay = len(planes) - 1
+    v2 = [p.reshape(nrows, LANES) for p in planes]
+
+    spec = lambda: pl.BlockSpec(
+        (r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_cascade_rounds_kernel, n_pay, seg_from, seg_to),
+        grid=(nrows // r,),
+        in_specs=[spec() for _ in v2],
+        out_shape=tuple(jax.ShapeDtypeStruct(v.shape, v.dtype) for v in v2),
+        out_specs=tuple(spec() for _ in v2),
+        interpret=interpret,
+    )(*v2)
+    return tuple(o.reshape(n) for o in out)
 
 
 @functools.partial(
@@ -297,12 +377,15 @@ def sort_bitonic(
 ):
     """Full sort of planes[0] (uint32) with payload planes following, as a
     bitonic merge tree: XLA batched row sorts make alternating asc/desc
-    leaves, then each round L runs its cross-block stages in one fused pass
+    leaves; every merge round with seg <= block fuses into ONE multi-round
+    cascade pass (bitonic_cascade_rounds — saves an HBM pass per round);
+    each larger round runs its cross-block stages in one fused pass
     (bitonic_xblock) and its in-block stages in another
-    (bitonic_cascade_blocks). ~1.6x the speed of the flat XLA 2-operand sort
-    at 2Mi (see module docstring)."""
+    (bitonic_cascade_blocks). ~1.6x the flat XLA 2-operand sort at 2Mi
+    (see module docstring)."""
     n = planes[0].shape[0]
     assert sortable_bitonic(n, leaf), f"n={n} needs power-of-2, >= {2 * leaf}"
+    assert 2 * leaf >= LANES, f"leaf={leaf} too small (cascade needs >= 64)"
     rows = n // leaf
     block = block_rows * LANES
 
@@ -322,16 +405,22 @@ def sort_bitonic(
     )
 
     seg = 2 * leaf
+    in_block_to = min(n, block)
+    if seg <= in_block_to and seg >= LANES:
+        cur = bitonic_cascade_rounds(
+            cur, seg_from=seg, seg_to=in_block_to,
+            block_rows=block_rows, interpret=interpret,
+        )
+        seg = 2 * in_block_to
     while seg <= n:
         alt = seg < n  # the final round's single segment sorts ascending
-        if seg > block:
-            cur = bitonic_xblock(
-                cur, seg_len=seg, low_d=block, alternating=alt,
-                interpret=interpret,
-            )
+        cur = bitonic_xblock(
+            cur, seg_len=seg, low_d=block, alternating=alt,
+            interpret=interpret,
+        )
         cur = bitonic_cascade_blocks(
             cur,
-            start_d=min(seg // 2, block // 2),
+            start_d=block // 2,
             seg_len=seg,
             alternating=alt,
             block_rows=block_rows,

@@ -210,3 +210,49 @@ def test_xblock_oversized_m_xla_fallback(rng, segs, alternating):
     ok, op = np.asarray(out[0]), np.asarray(out[1])
     check_sorted_segments(ok, seg, alternating)
     assert _pairs(ok, op) == _pairs(k, p)
+
+
+@pytest.mark.parametrize("rounds", [1, 2, 3])
+def test_cascade_rounds_fused(rng, rounds):
+    # leaves of length L sorted alternating; one fused pass must produce
+    # seg_to-length alternating runs == applying the rounds one by one
+    L = 128
+    seg_to = L * (2 ** rounds)
+    n = 4 * seg_to
+    from dpu_olap_tpu.ops.sort_pallas import bitonic_cascade_rounds
+
+    k = rng.integers(0, 2**32, n).astype(np.uint32)
+    for s in range(0, n, L):  # alternating sorted leaves
+        run = np.sort(k[s : s + L])
+        k[s : s + L] = run if (s // L) % 2 == 0 else run[::-1]
+    p = np.arange(n, dtype=np.uint32)
+    out = bitonic_cascade_rounds(
+        (jnp.asarray(k), jnp.asarray(p)),
+        seg_from=2 * L,
+        seg_to=seg_to,
+        block_rows=BR,
+        interpret=True,
+    )
+    ok, op = np.asarray(out[0]), np.asarray(out[1])
+    check_sorted_segments(ok, seg_to, True)
+    assert _pairs(ok, op) == _pairs(k, p)
+
+
+def test_cascade_rounds_full_array_ascending(rng):
+    # seg_to == n: the final round must come out ascending with no flip flag
+    from dpu_olap_tpu.ops.sort_pallas import bitonic_cascade_rounds
+
+    L = 256
+    n = 1024  # one BR-block
+    k = rng.integers(0, 2**32, n).astype(np.uint32)
+    for s in range(0, n, L):
+        run = np.sort(k[s : s + L])
+        k[s : s + L] = run if (s // L) % 2 == 0 else run[::-1]
+    p = np.arange(n, dtype=np.uint32)
+    out = bitonic_cascade_rounds(
+        (jnp.asarray(k), jnp.asarray(p)),
+        seg_from=2 * L, seg_to=n, block_rows=BR, interpret=True,
+    )
+    ok, op = np.asarray(out[0]), np.asarray(out[1])
+    assert np.all(ok[1:] >= ok[:-1])
+    assert _pairs(ok, op) == _pairs(k, p)
