@@ -195,13 +195,16 @@ def main():
     t_sort = time_chained(phase_sort, lf0, k=8)
     t_mid = time_chained(phase_sort_merge, lf0, k=8)
     mid_name = "merge" if use_merge else "propagate"
+    # phases run on ONE batch, join_sec covers all SF batches: use the
+    # per-batch steady-state time for the residual-phase delta
+    join_batch_sec = join_sec / sf
     details["join_phase_sort_ms"] = t_sort * 1e3
     details[f"join_phase_{mid_name}_ms"] = (t_mid - t_sort) * 1e3
-    details["join_phase_fill_mask_ms"] = (join_sec - t_mid) * 1e3
+    details["join_phase_fill_mask_ms"] = (join_batch_sec - t_mid) * 1e3
     _log(
         f"join phases: sort={t_sort*1e3:.2f} "
         f"{mid_name}={(t_mid-t_sort)*1e3:.2f} "
-        f"fill+mask/output={(join_sec-t_mid)*1e3:.2f} ms"
+        f"fill+mask/output={(join_batch_sec-t_mid)*1e3:.2f} ms"
     )
 
     # correctness spot check (forces one real execution; count on device to

@@ -74,15 +74,20 @@ class JoinTpu:
         # Both always hold for the reference workload (sequential pk,
         # join_benchmark.cc:71-107).
         lim = np.uint32(0x7FFFFFFF)
+        # initial=0 keeps zero-row batches from raising on the reduction
         self.keys31 = all(
-            np.max(np.asarray(b[self.fk])) < lim for b in self.left
-        ) and all(np.max(np.asarray(b[self.pk])) < lim for b in self.right)
-        pk_cols = [np.asarray(b[self.pk]) for b in self.right]
+            np.max(np.asarray(b[self.fk]), initial=0) < lim for b in self.left
+        ) and all(
+            np.max(np.asarray(b[self.pk]), initial=0) < lim for b in self.right
+        )
+        pk_cols = [
+            c for c in (np.asarray(b[self.pk]) for b in self.right) if c.size
+        ]
         self.pk_sorted = all(
             np.all(c[1:] >= c[:-1]) for c in pk_cols
         ) and all(
             pk_cols[i][-1] <= pk_cols[i + 1][0] for i in range(len(pk_cols) - 1)
-        ) if pk_cols[0].size else True
+        )
         return self
 
     # ---- single-chip direct path ------------------------------------------
@@ -252,7 +257,10 @@ class JoinTpu:
             and self.right.num_rows % d == 0
             and max(self.left.num_rows, self.right.num_rows) <= self.MAX_RESIDENT_ROWS
         )
-        if fits and d == 1:
+        # join_shard_auto ignores self.impl, so the single-device fast path
+        # only serves the default cosort impl; any other requested impl runs
+        # through the ICI path's join_shard(impl=...) even at d == 1.
+        if fits and d == 1 and self.impl == "cosort":
             return self._run_single()
         if fits:
             return self._run_ici()
@@ -263,22 +271,58 @@ class JoinTpu:
 
 
 class JoinNative:
-    """pyarrow inner hash-join oracle."""
+    """pyarrow inner hash-join oracle.
 
-    def __init__(self, left: Table, right: Table, fk: str = "fk", pk: str = "pk"):
+    partitioned=True mirrors the reference's partitioned native mode
+    (host/join/join_native.cc:94-111, benchmarked against the unpartitioned
+    plan at join_benchmark.cc:159-166): one join per aligned (left, right)
+    batch pair, results concatenated. Correct under the generator's contract
+    that every fk batch is range-bounded to its matching pk batch
+    (host/generator/generator.cc:46-57); the unpartitioned mode is the
+    general oracle."""
+
+    def __init__(
+        self,
+        left: Table,
+        right: Table,
+        fk: str = "fk",
+        pk: str = "pk",
+        partitioned: bool = False,
+    ):
         self.left, self.right = left, right
         self.fk, self.pk = fk, pk
+        self.partitioned = partitioned
         self.timers = Timers()
 
     def Prepare(self):
         import pyarrow as pa
 
-        self._left = pa.Table.from_batches([b.to_arrow() for b in self.left])
-        self._right = pa.Table.from_batches([b.to_arrow() for b in self.right])
+        if self.partitioned:
+            assert len(self.left) == len(self.right)
+            self._pairs = [
+                (
+                    pa.Table.from_batches([l.to_arrow()]),
+                    pa.Table.from_batches([r.to_arrow()]),
+                )
+                for l, r in zip(self.left, self.right)
+            ]
+        else:
+            self._left = pa.Table.from_batches([b.to_arrow() for b in self.left])
+            self._right = pa.Table.from_batches(
+                [b.to_arrow() for b in self.right]
+            )
         return self
 
     def Run(self):
+        import pyarrow as pa
+
         with timed(self.timers, "native-work"):
+            if self.partitioned:
+                tables = [
+                    l.join(r, keys=self.fk, right_keys=self.pk, join_type="inner")
+                    for l, r in self._pairs
+                ]
+                return pa.concat_tables(tables)
             return self._left.join(
                 self._right, keys=self.fk, right_keys=self.pk, join_type="inner"
             )

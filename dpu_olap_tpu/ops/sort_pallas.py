@@ -362,8 +362,10 @@ def bitonic_cascade_blocks(
 
 
 def sortable_bitonic(n: int, leaf: int = LEAF) -> bool:
-    """sort_bitonic handles power-of-two lengths with >= 2 leaf rows."""
-    return n >= 2 * leaf and (n & (n - 1)) == 0
+    """sort_bitonic handles any length >= 2 leaf rows: non-power-of-two
+    inputs are max-key padded to the next power of two and sliced back
+    (see sort_bitonic docstring for the 0xFFFFFFFF-key caveat)."""
+    return n >= 2 * leaf
 
 
 @functools.partial(
@@ -382,10 +384,27 @@ def sort_bitonic(
     each larger round runs its cross-block stages in one fused pass
     (bitonic_xblock) and its in-block stages in another
     (bitonic_cascade_blocks). ~1.6x the flat XLA 2-operand sort at 2Mi
-    (see module docstring)."""
-    n = planes[0].shape[0]
-    assert sortable_bitonic(n, leaf), f"n={n} needs power-of-2, >= {2 * leaf}"
+    (see module docstring).
+
+    Non-power-of-two lengths are padded to the next power of two with
+    0xFFFFFFFF keys (payloads 0) and the outputs sliced back to n. The
+    bitonic network is unstable, so when REAL keys equal 0xFFFFFFFF their
+    payloads may interleave with the padding's zeros in the slice — callers
+    must either keep keys < 0xFFFFFFFF or not depend on max-key payloads
+    (join_shard_fused qualifies: lanes whose packed key reaches 0xFFFFFFFE
+    decode to EMPTY and are masked out of ``matched``). Worst-case padding
+    doubles the work, still at or under the flat XLA sort it replaces."""
+    n_out = planes[0].shape[0]
+    assert sortable_bitonic(n_out, leaf), f"n={n_out} too short, < {2 * leaf}"
     assert 2 * leaf >= LANES, f"leaf={leaf} too small (cascade needs >= 64)"
+    n = 1 << (n_out - 1).bit_length()
+    if n != n_out:
+        planes = tuple(
+            jnp.concatenate(
+                [p, jnp.full((n - n_out,), 0xFFFFFFFF if i == 0 else 0, p.dtype)]
+            )
+            for i, p in enumerate(planes)
+        )
     rows = n // leaf
     block = block_rows * LANES
 
@@ -427,4 +446,6 @@ def sort_bitonic(
             interpret=interpret,
         )
         seg *= 2
+    if n != n_out:
+        cur = tuple(c[:n_out] for c in cur)
     return cur

@@ -62,12 +62,14 @@ def stream_rounds(
             staged = nxt.result()
             if r + 1 < n_rounds:
                 nxt = pool.submit(timed_stage, r + 1)
-            with timed(timers, "dispatch", r):
-                pending.append((r, dispatch(r, staged)))
-            while len(pending) > max_inflight:
+            # drain before dispatching so the bound counts the new round:
+            # at most max_inflight dispatched rounds are ever device-resident
+            while len(pending) >= max_inflight:
                 rr, h = pending.pop(0)
                 with timed(timers, "collect", rr):
                     results.append(collect(rr, h))
+            with timed(timers, "dispatch", r):
+                pending.append((r, dispatch(r, staged)))
         for rr, h in pending:
             with timed(timers, "collect", rr):
                 results.append(collect(rr, h))

@@ -290,7 +290,11 @@ def main():
                 record(f"parallel_memcpy_t{threads}", sec, nbytes // 4)
 
     # join: SF batches x 2Mi per side (join_benchmark.cc:168-176)
-    if pat.search("join_tpu") or pat.search("join_native"):
+    if (
+        pat.search("join_tpu")
+        or pat.search("join_native")
+        or pat.search("join_native_partitioned")
+    ):
         nb = max(d, (sf // d) * d if sf >= d else d)
         per = max(1 << 10, (sf * (1 << 21)) // nb)
         left, right = make_join_tables(nb, per, per)
@@ -301,6 +305,10 @@ def main():
         if pat.search("join_native"):
             op = JoinNative(left, right).Prepare()
             record("join_native", bench_host(op.Run), items)
+        if pat.search("join_native_partitioned"):
+            # join_benchmark.cc:159-166 benchmarks Partitioned=true/false
+            op = JoinNative(left, right, partitioned=True).Prepare()
+            record("join_native_partitioned", bench_host(op.Run), items)
 
     out = Path(__file__).resolve().parents[1] / "bench_results.json"
     out.write_text("\n".join(json.dumps(r) for r in results) + "\n")

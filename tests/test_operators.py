@@ -98,6 +98,31 @@ def test_join_operator_many_batches_ici(ds):
     _join_outputs_equal(got, expect)
 
 
+def test_join_native_partitioned_mode():
+    # join_native.cc:94-111: per-batch-pair plans + concatenated result must
+    # equal the single unpartitioned plan (fk is batch-range-bounded)
+    left, right = make_join_tables(8, 1 << 10, 1 << 9)
+    part = JoinNative(left, right, partitioned=True).Prepare().Run()
+    full = JoinNative(left, right).Prepare().Run()
+    key = [(n, "ascending") for n in ["fk", "y", "x"]]
+    assert part.select(["fk", "y", "x"]).sort_by(key).equals(
+        full.select(["fk", "y", "x"]).sort_by(key)
+    )
+
+
+def test_join_operator_empty_batch_prepare(ds):
+    # zero-row batches must not break the keys31/pk_sorted host scans
+    from dpu_olap_tpu.columnar import Batch, Table
+
+    left, right = make_join_tables(7, 1 << 10, 1 << 9)
+    empty_l = Batch({"fk": np.zeros(0, np.uint32), "y": np.zeros(0, np.uint32)})
+    empty_r = Batch({"pk": np.zeros(0, np.uint32), "x": np.zeros(0, np.uint32)})
+    lt = Table([*list(left), empty_l])
+    rt = Table([*list(right), empty_r])
+    op = JoinTpu(ds, lt, rt).Prepare()
+    assert op.keys31 and op.pk_sorted
+
+
 @pytest.mark.parametrize("impl", ["sort"])
 def test_join_operator_sort_impl(ds, impl):
     left, right = make_join_tables(8, 1 << 10, 1 << 9)

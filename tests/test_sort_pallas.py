@@ -162,9 +162,27 @@ def test_sort_bitonic_two_payloads(rng):
 
 def test_sortable_bitonic():
     assert sortable_bitonic(1 << 21)
-    assert not sortable_bitonic((1 << 21) - 128)  # not a power of two
+    assert sortable_bitonic((1 << 21) - 128)  # non-pow2: padded internally
     assert not sortable_bitonic(4096)  # < 2 leaves
     assert sortable_bitonic(1024, leaf=256)
+
+
+@pytest.mark.parametrize("n_off", [-384, -128, 128, 1920])
+def test_sort_bitonic_non_pow2(rng, n_off):
+    # arbitrary lengths pad to the next power of two with max keys and
+    # slice back; parity vs numpy on keys and payload pairing
+    leaf = 512
+    n = 8 * leaf + n_off
+    assert sortable_bitonic(n, leaf)
+    k = rng.choice(2**32 - 1, size=n, replace=False).astype(np.uint32)
+    p = np.arange(n, dtype=np.uint32)
+    out = sort_bitonic(
+        (jnp.asarray(k), jnp.asarray(p)), leaf=leaf, block_rows=BR,
+        interpret=True,
+    )
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out[0]), k[order])
+    np.testing.assert_array_equal(np.asarray(out[1]), p[order])
 
 
 def test_bitonic_merge_xblock_path(rng):
