@@ -250,7 +250,9 @@ def main():
     def sum_step(c):
         lo, hi = sum_u64_pair(c)
         return c ^ (lo & jnp.uint32(1))
-    ssec = time_chained(sum_step, fa, k=64)
+    # k=512: at ~0.03ms/op the K->2K difference needs a long chain to rise
+    # above tunnel noise (the Pallas sum is ~5x the old XLA reduction)
+    ssec = time_chained(sum_step, fa, k=512)
     details["sum_rows_per_s"] = nf / ssec
 
     ni = rows // 4

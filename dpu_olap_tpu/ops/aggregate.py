@@ -22,9 +22,13 @@ combines pairs on the host exactly like the reference's host-side total.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK = 1 << 15
 
@@ -60,13 +64,99 @@ def _u64_shl16(a):
     return lo << jnp.uint32(16), (hi << jnp.uint32(16)) | (lo >> jnp.uint32(16))
 
 
-@jax.jit
-def sum_u64_pair(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact uint64 sum of a uint32 array as a (lo32, hi32) uint32 pair."""
-    v = values.astype(jnp.uint32).reshape(-1)
+def _sum_xla_pair(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     lo_part = _sum16_exact(v & jnp.uint32(0xFFFF))
     hi_part = _sum16_exact(v >> jnp.uint32(16))
     return _u64_add(lo_part, _u64_shl16(hi_part))
+
+
+# ---------------------------------------------------------------------------
+# Pallas blocked reduction (the hot path)
+# ---------------------------------------------------------------------------
+# Reference kernel_aggr streams BLOCK_LENGTH WRAM blocks through per-tasklet
+# partial states (dpu/shared/kernels/aggr.c:24-29); here one grid step DMAs a
+# (R, 128) VMEM block, folds it into four (1, 128) lane accumulators, and the
+# cross-lane reduction happens once at the last step. Exactness bounds
+# (int32 lanes; uint32 addition is modular so bit-exact):
+#   per block:  sum over R rows of 16-bit halves  <= R * 0xFFFF < 2^31 (R<=2^14)
+#   lane accs:  split 16/16 per block, so acc[0/2] <= nblocks * 2^16 and
+#               acc[1/3] <= nblocks * R  -> exact for n <= 2^31 elements
+#   final:      each acc lane < 2^31, split 16/16 again -> sums <= 2^23
+_SUM_R = 4096  # v5e 8Mi sweep r512/1024/2048/4096 -> 666/721/838/847 GB/s
+
+
+def _sum_pallas_kernel(x_ref, out_ref, acc):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    v = x_ref[:]
+    m16 = jnp.uint32(0xFFFF)
+    bl = jnp.sum((v & m16).astype(jnp.int32), axis=0, keepdims=True)
+    bh = jnp.sum((v >> jnp.uint32(16)).astype(jnp.int32), axis=0, keepdims=True)
+    acc[0:1] += bl & 0xFFFF
+    acc[1:2] += bl >> 16
+    acc[2:3] += bh & 0xFFFF
+    acc[3:4] += bh >> 16
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        a = acc[0:4]
+        for j in range(4):
+            out_ref[2 * j] = jnp.sum(a[j : j + 1] & 0xFFFF)
+            out_ref[2 * j + 1] = jnp.sum(a[j : j + 1] >> 16)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+def _sum_pallas_pair(v: jnp.ndarray, r: int = _SUM_R, interpret: bool = False):
+    """Exact u64-pair sum of a uint32 array whose length divides 8*128."""
+    nrows = v.shape[0] // 128
+    while nrows % r:
+        r //= 2
+    s = pl.pallas_call(
+        _sum_pallas_kernel,
+        grid=(nrows // r,),
+        in_specs=[
+            pl.BlockSpec((r, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_shape=jax.ShapeDtypeStruct((8,), jnp.int32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: acc carry
+        ),
+        interpret=interpret,
+    )(v.reshape(nrows, 128)).astype(jnp.uint32)
+    # A_j = s[2j] + s[2j+1]<<16 is the cross-lane total of accumulator row j
+    # (j = lo_lo, lo_hi, hi_lo, hi_hi); total = (A0 + A1<<16) + (A2 + A3<<16)<<16
+    z = jnp.uint32(0)
+    a = [
+        _u64_add((s[2 * j], z), _u64_shl16((s[2 * j + 1], z))) for j in range(4)
+    ]
+    s_bl = _u64_add(a[0], _u64_shl16(a[1]))
+    s_bh = _u64_add(a[2], _u64_shl16(a[3]))
+    return _u64_add(s_bl, _u64_shl16(s_bh))
+
+
+@jax.jit
+def sum_u64_pair(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact uint64 sum of a uint32 array as a (lo32, hi32) uint32 pair.
+    On TPU the bulk runs in the Pallas blocked kernel (one HBM pass, lane
+    accumulators); any non-lane-aligned tail is summed by the XLA path and
+    folded in exactly."""
+    from .filter import _on_tpu
+
+    v = values.astype(jnp.uint32).reshape(-1)
+    blk = 8 * 128
+    main = (v.shape[0] // blk) * blk
+    if not _on_tpu() or main == 0:
+        return _sum_xla_pair(v)
+    pair = _sum_pallas_pair(v[:main])
+    if main != v.shape[0]:
+        pair = _u64_add(pair, _sum_xla_pair(v[main:]))
+    return pair
 
 
 def u64_pair_to_int(lo, hi) -> int:
