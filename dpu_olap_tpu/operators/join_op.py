@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..columnar import Table
-from ..metrics import device_log
+from ..metrics import device_log, log
 from ..config import FLAGS
 from ..ops.hashtable import EMPTY
 from ..parallel.dist_join import dist_join
@@ -88,6 +88,18 @@ class JoinTpu:
         ) and all(
             pk_cols[i][-1] <= pk_cols[i + 1][0] for i in range(len(pk_cols) - 1)
         )
+        # pk_dense (pk[i] = pk[0] + i across the concat) upgrades the probe
+        # to a positional gather (ops/merge_xla.join_shard_dense) — always
+        # true for the reference's sequential index pk (generator.cc:59-71).
+        self.pk_dense = (
+            self.pk_sorted
+            and bool(pk_cols)
+            and all(np.all(np.diff(c.astype(np.int64)) == 1) for c in pk_cols)
+            and all(
+                int(pk_cols[i + 1][0]) - int(pk_cols[i][-1]) == 1
+                for i in range(len(pk_cols) - 1)
+            )
+        )
         return self
 
     # ---- single-chip direct path ------------------------------------------
@@ -101,15 +113,41 @@ class JoinTpu:
 
         lf = self.left.concat()
         rt = self.right.concat()
+        args = (
+            jax.device_put(lf[self.fk]),
+            tuple(jax.device_put(lf[c]) for c in self.left_cols),
+            jax.device_put(rt[self.pk]),
+            tuple(jax.device_put(rt[c]) for c in self.right_cols),
+        )
         with timed(self.timers, "join-total"):
-            fk, lcols, rcols, matched = join_shard_auto(
-                jax.device_put(lf[self.fk]),
-                tuple(jax.device_put(lf[c]) for c in self.left_cols),
-                jax.device_put(rt[self.pk]),
-                tuple(jax.device_put(rt[c]) for c in self.right_cols),
-                keys31=self.keys31,
-                pk_sorted=self.pk_sorted,
-            )
+            fk = None
+            if self.pk_dense:
+                from ..ops.merge_xla import (
+                    dense_window_rows,
+                    join_dense_eligible,
+                    join_shard_dense,
+                )
+
+                from ..ops.filter import _on_tpu
+
+                if join_dense_eligible(lf.num_rows, rt.num_rows):
+                    # gather-window skew retry (same pattern as the shuffle
+                    # cell-doubling below): doubling is bounded by the query
+                    # count, so this terminates
+                    wr = dense_window_rows(lf.num_rows, rt.num_rows)
+                    while True:
+                        fk, lcols, rcols, matched, ovf = join_shard_dense(
+                            *args, window_rows=wr, interpret=not _on_tpu()
+                        )
+                        if int(ovf) == 0:
+                            break
+                        log(f"join dense window overflow, retry wr={wr * 2}")
+                        fk = None
+                        wr *= 2
+            if fk is None:
+                fk, lcols, rcols, matched = join_shard_auto(
+                    *args, keys31=self.keys31, pk_sorted=self.pk_sorted
+                )
             m = np.asarray(matched)
         out = {self.fk: np.asarray(fk)[m]}
         for name, col in zip(self.left_cols, lcols):

@@ -137,3 +137,88 @@ def join_shard_sorted_build(
     out_l = tuple(jnp.where(matched, sms[k], 0) for k in range(m_l))
     out_r = tuple(jnp.where(matched, c, 0) for c in prcols)
     return jnp.where(matched, sk, 0), out_l, out_r, matched
+
+
+def dense_window_rows(n_l: int, n_r: int) -> int:
+    """Default gather window: 4x the mean queries-per-slice (Poisson slack
+    for uniform fks); adversarial clustering overflows and retries."""
+    from .take_pallas import DEF_SLICE_ROWS
+
+    blk = DEF_SLICE_ROWS * 128
+    mean = n_l * blk // max(n_r, blk)
+    return max(16, 1 << (max(4 * mean // 128, 1) - 1).bit_length())
+
+
+def join_dense_eligible(n_l: int, n_r: int) -> bool:
+    """The dense-pk gather join needs a tree-sortable probe and a table big
+    enough for at least one gather slice."""
+    from .sort_pallas import sortable_bitonic
+    from .take_pallas import DEF_SLICE_ROWS
+
+    return sortable_bitonic(n_l) and n_r >= DEF_SLICE_ROWS * 128
+
+
+@partial(jax.jit, static_argnames=("window_rows", "interpret"))
+def join_shard_dense(
+    left_fk: jnp.ndarray,
+    left_payload: Tuple[jnp.ndarray, ...],
+    right_pk: jnp.ndarray,
+    right_payload: Tuple[jnp.ndarray, ...],
+    window_rows: int | None = None,
+    interpret: bool = False,
+):
+    """Join against a DENSE pk column (pk[i] = pk[0] + i, verified host-side
+    by the operator — always true for the reference generator's sequential
+    index pk, host/generator/generator.cc:59-71): the probe is a positional
+    gather, so the whole merge+propagate machinery of the co-sort join
+    collapses into sort(probe) + ONE streaming pass over each build payload
+    column (ops/take_pallas.gather_sorted_pallas).
+
+    Output contract matches join_shard_fused (key-sorted rows + matched
+    mask), but with exactly n_l rows instead of n_l+n_r+pad — unmatched fks
+    (outside the pk range) are zeroed and masked out. Returns
+    (key, out_l, out_r, matched, overflow): overflow != 0 means a gather
+    window overflowed (extreme fk clustering) and the caller must retry with
+    window_rows*2 (TakeTpu/JoinTpu skew-retry pattern)."""
+    from .filter import _on_tpu
+    from .sort_pallas import sort_bitonic, sortable_bitonic
+    from .take_pallas import DEF_SLICE_ROWS, gather_sorted_pallas
+
+    n_r, n_l = right_pk.shape[0], left_fk.shape[0]
+    if window_rows is None:
+        window_rows = dense_window_rows(n_l, n_r)
+    lo = right_pk[0].astype(jnp.uint32)
+    idx = left_fk.astype(jnp.uint32) - lo  # out-of-range wraps huge, masked
+
+    ys = [p.astype(jnp.uint32) for p in left_payload]
+    if (_on_tpu() or interpret) and sortable_bitonic(n_l):
+        sorted_ = list(sort_bitonic((idx, *ys), interpret=interpret))
+    else:
+        sorted_ = list(jax.lax.sort([idx, *ys], num_keys=1))
+    sidx, sys_ = sorted_[0], sorted_[1:]
+
+    matched = sidx < jnp.uint32(n_r)
+    blk = DEF_SLICE_ROWS * 128
+    npad = (-n_r) % blk
+    kpad = (-n_l) % 128
+    sidx_cl = jnp.minimum(sidx, jnp.uint32(n_r - 1))
+    if kpad:
+        # clip-max padding keeps the stream sorted; sliced back below
+        sidx_cl = jnp.concatenate(
+            [sidx_cl, jnp.full((kpad,), n_r - 1, jnp.uint32)]
+        )
+    overflow = jnp.int32(0)
+    out_r = []
+    for x in right_payload:
+        xx = x.astype(jnp.uint32)
+        if npad:
+            xx = jnp.concatenate([xx, jnp.zeros((npad,), jnp.uint32)])
+        val, f = gather_sorted_pallas(
+            xx, sidx_cl, window_rows=window_rows, interpret=interpret
+        )
+        overflow = overflow | f
+        out_r.append(jnp.where(matched, val[:n_l], 0))
+
+    key = jnp.where(matched, sidx + lo, 0)
+    out_l = tuple(jnp.where(matched, y, 0) for y in sys_)
+    return key, out_l, tuple(out_r), matched, overflow

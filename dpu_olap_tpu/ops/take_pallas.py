@@ -1,0 +1,267 @@
+"""Pallas TPU kernel: streaming gather of sorted indices (the take fast path).
+
+take(data, indices) = data[indices] with random uint32 indices. XLA's gather
+engine is index-rate-bound on v5e (141M idx/s element-granular; row gathers
+hit a table-size cliff: 383M rows/s at <=8MB, 88M at 16MB) and sorted inputs
+do NOT help it (measured identical, MEASURE_R3.json rowgather_order) — so the
+round-3 design removes random access from the hot path entirely:
+
+  1. sort (idx, pos=iota) by idx           bitonic tree sort, 0.53ms/512Ki
+  2. gather_sorted_pallas (this kernel)    one streaming pass over the table
+  3. sort (pos, val) by pos                restores original order, 0.53ms
+
+Kernel shape: a sequential grid walks table slices of ``slice_rows``x128
+values while an SMEM cursor tracks how many sorted queries have been
+consumed. Each step DMAs a fixed ``window_rows``x128 window of the sorted
+index stream at the cursor, counts the run belonging to its slice (sorted =>
+the run is contiguous at the cursor), selects each query's table row with a
+compile-time unrolled select tree, and extracts its lane with ONE per-lane
+dynamic gather — Mosaic lowers ``jnp.take_along_axis(..., axis=1)`` natively
+at ~1250 GB/s (MEASURE_R3.json take2.lanegather) — then writes the value
+window back aligned with the query stream (output value j pairs with sorted
+query j, so the final sort needs no extra payload plane). The partial first
+row is merged from a carried last-row register instead of a read-modify-write
+DMA.
+
+Window overflow (a slice whose run exceeds the window — impossible for
+uniform indices with the default 4x slack, possible for adversarially
+clustered ones) sets a flag output; results are then invalid and the caller
+retries with a doubled window (the cell-doubling skew-retry pattern of
+operators/join_op.py).
+
+Reference: dpu/shared/kernels/take.c:27-41 — tasklets stream index blocks
+through WRAM and issue one 4-byte random MRAM load per index. The TPU
+restatement streams the table exactly once at HBM bandwidth and turns every
+random access into a sort or a sequential scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sort_pallas import sort_bitonic, sortable_bitonic
+
+LANES = 128
+DEF_SLICE_ROWS = 32  # table slice per grid step: 4Ki values (16KB)
+DEF_WINDOW_ROWS = 16  # sorted-query window: 2Ki queries (4x the uniform mean)
+
+
+def _signed(k):
+    # uint32 order mapped bit-exactly onto int32 order (Mosaic has no
+    # unsigned compares; same-width astype is a bitcast)
+    return (k ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+
+
+def _gather_kernel(
+    slice_rows, window_rows, x_ref, sidx_ref, out_ref, flag_ref,
+    qbuf, vbuf, lastrow, cur_ref, ovf_ref, sem_in, sem_out,
+):
+    b = pl.program_id(0)
+    lo = (b * (slice_rows * LANES)).astype(jnp.uint32)
+
+    @pl.when(b == 0)
+    def _():
+        cur_ref[0] = 0
+        ovf_ref[0] = 0
+        lastrow[...] = jnp.zeros((1, LANES), jnp.uint32)
+
+    cursor = cur_ref[0]
+    row0 = jax.lax.div(cursor, LANES)
+    phase = jax.lax.rem(cursor, LANES)
+
+    # window of sorted queries at the cursor (row-granular DMA; the sub-row
+    # phase is masked below). Caller pads sidx with window_rows extra rows of
+    # 0xFFFFFFFF so this never reads out of bounds.
+    read = pltpu.make_async_copy(
+        sidx_ref.at[pl.ds(row0, window_rows)], qbuf, sem_in
+    )
+    read.start()
+    read.wait()
+
+    q = qbuf[:]
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, q.shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    )
+    shi = _signed(lo + jnp.uint32(slice_rows * LANES))
+    sq = _signed(q)
+    mine = (flat >= phase) & (sq < shi)  # q >= lo: smaller were consumed
+    c = jnp.sum(mine.astype(jnp.int32))
+
+    # per slice row: gather that row at every query's lane (Mosaic lowers the
+    # lane-axis take_along_axis natively), then select it into the slots whose
+    # query lives in that row. The gather must precede the select — a slot's
+    # value is slice[rowsel[slot], lane[slot]], and gathering after a
+    # slot-wise row select would read the row chosen by a DIFFERENT slot.
+    # Garbage slots (consumed / future queries) land outside [cursor,
+    # cursor+c) and are overwritten by later steps or sliced off.
+    local = q - lo
+    rowsel = (local >> 7).astype(jnp.int32)
+    lane = (local & jnp.uint32(LANES - 1)).astype(jnp.int32)
+    val = jnp.zeros(q.shape, jnp.uint32)
+    for r in range(slice_rows):
+        g = jnp.take_along_axis(
+            jnp.broadcast_to(x_ref[r : r + 1, :], q.shape), lane, axis=1
+        )
+        val = jnp.where(rowsel == r, g, val)
+
+    # merge the partial first row from the carried previous-step content
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, val.shape, 0)
+    val = jnp.where((row_i == 0) & (lane_i < phase), lastrow[:], val)
+    vbuf[:] = val
+
+    write = pltpu.make_async_copy(
+        vbuf, out_ref.at[pl.ds(row0, window_rows)], sem_out
+    )
+    write.start()
+    write.wait()
+
+    # carry the row holding the new cursor for the next step's merge. When
+    # the new cursor is row-aligned just past the window, next phase is 0 and
+    # the carry is never read.
+    ncur = cursor + c
+    nrow = jnp.minimum(
+        jax.lax.div(ncur, LANES) - row0, window_rows - 1
+    )
+    lastrow[:] = jnp.sum(
+        jnp.where(row_i == nrow, vbuf[:], jnp.uint32(0)), axis=0, keepdims=True
+    )
+    cur_ref[0] = ncur
+
+    # overflow: the window's last entry still belongs to this slice => the
+    # run may continue beyond the window and results are invalid.
+    last = jnp.sum(
+        jnp.where(
+            (row_i == window_rows - 1) & (lane_i == LANES - 1), sq, jnp.int32(0)
+        )
+    )
+    ovf_ref[0] = ovf_ref[0] | (last < shi).astype(jnp.int32)
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        flag_ref[0] = ovf_ref[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slice_rows", "window_rows", "interpret")
+)
+def gather_sorted_pallas(
+    data: jnp.ndarray,
+    sidx: jnp.ndarray,
+    slice_rows: int = DEF_SLICE_ROWS,
+    window_rows: int = DEF_WINDOW_ROWS,
+    interpret: bool = False,
+):
+    """val[j] = data[sidx[j]] for ASCENDING-sorted uint32 sidx.
+
+    Returns (val, overflow): val is garbage wherever sidx >= len(data) (such
+    queries are never consumed; keep them at the sorted tail via 0xFFFFFFFF)
+    and everywhere if overflow != 0 (retry with a larger window)."""
+    n = data.shape[0]
+    k = sidx.shape[0]
+    blk = slice_rows * LANES
+    assert n % blk == 0, f"n={n} must be a multiple of {blk}"
+    assert k % LANES == 0, f"k={k} must be a multiple of {LANES}"
+    krows = k // LANES
+
+    sidx_p = jnp.concatenate(
+        [
+            sidx.reshape(krows, LANES),
+            jnp.full((window_rows, LANES), 0xFFFFFFFF, jnp.uint32),
+        ]
+    )
+    out, flag = pl.pallas_call(
+        functools.partial(_gather_kernel, slice_rows, window_rows),
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec(
+                (slice_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((krows + window_rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((window_rows, LANES), jnp.uint32),  # query window
+            pltpu.VMEM((window_rows, LANES), jnp.uint32),  # value window
+            pltpu.VMEM((1, LANES), jnp.uint32),  # carried partial row
+            pltpu.SMEM((1,), jnp.int32),  # consumed-query cursor
+            pltpu.SMEM((1,), jnp.int32),  # overflow accumulator
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: cursor carry
+        ),
+        interpret=interpret,
+    )(data.reshape(n // LANES, LANES), sidx_p)
+    return out[:krows].reshape(k), flag[0]
+
+
+def takeable_sorted(n_data: int, n_idx: int) -> bool:
+    """Shape gate for take_sorted: both sorts must clear the bitonic floor
+    and the table must tile into 128-lane rows."""
+    return (
+        sortable_bitonic(n_idx)
+        and n_data % LANES == 0
+        and n_data >= LANES * DEF_SLICE_ROWS
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_rows", "interpret")
+)
+def take_sorted(
+    data: jnp.ndarray,
+    indices: jnp.ndarray,
+    window_rows: int = DEF_WINDOW_ROWS,
+    interpret: bool = False,
+):
+    """out[i] = data[indices[i]] (clip semantics), plus an overflow flag.
+
+    The jitted sort->stream->sort pipeline. The flag is 0 whenever no table
+    slice's query run overflowed the window; callers that cannot bound index
+    clustering check it host-side and retry with window_rows*2 (TakeTpu), or
+    pre-size the window from the index distribution (benchmarks)."""
+    n = data.shape[0]
+    k = indices.shape[0]
+    blk = DEF_SLICE_ROWS * LANES
+    npad = (-n) % blk
+    if npad:
+        data = jnp.concatenate([data, jnp.zeros((npad,), data.dtype)])
+    kpad = (-k) % LANES
+    idxc = jnp.minimum(indices.astype(jnp.uint32), jnp.uint32(n - 1))
+    pos = jnp.arange(k, dtype=jnp.uint32)
+    if kpad:
+        # pad queries sort to the tail (never consumed; sliced off after the
+        # second sort because their pos keys are also maximal)
+        idxc = jnp.concatenate(
+            [idxc, jnp.full((kpad,), 0xFFFFFFFF, jnp.uint32)]
+        )
+        pos = jnp.concatenate([pos, jnp.full((kpad,), 0xFFFFFFFF, jnp.uint32)])
+    sidx, spos = sort_bitonic((idxc, pos), interpret=interpret)
+    bits = (
+        data
+        if data.dtype == jnp.uint32
+        else jax.lax.bitcast_convert_type(data, jnp.uint32)
+    )
+    val, flag = gather_sorted_pallas(
+        bits, sidx, window_rows=window_rows, interpret=interpret
+    )
+    _, out = sort_bitonic((spos, val), interpret=interpret)
+    out = out[:k]
+    if data.dtype != jnp.uint32:
+        out = jax.lax.bitcast_convert_type(out, data.dtype)
+    return out, flag

@@ -76,6 +76,20 @@ def main():
         sync_read(out)
         return total / ((time.perf_counter() - t0) / reps)
 
+    def run_at(d: int):
+        """Weak scaling point: d devices, rows_per_dev per device."""
+        ds = DeviceSet(jax.devices()[:d])
+        total = rows_per_dev * d
+        left, right = make_join_tables(1, total, total)
+        lb, rb = left[0], right[0]
+        sync_read(dist_join(ds, lb["fk"], (lb["y"],), rb["pk"], (rb["x"],)))
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = dist_join(ds, lb["fk"], (lb["y"],), rb["pk"], (rb["x"],))
+        sync_read(out)
+        return total / ((time.perf_counter() - t0) / reps)
+
     single = run_single()
     result = {
         "devices": n_dev,
@@ -86,6 +100,31 @@ def main():
         multi = run_multi()
         result["multi_rows_per_s"] = multi
         result["weak_scaling_efficiency"] = multi / (single * n_dev)
+    if os.environ.get("SCALING_CURVE") == "1":
+        # BASELINE.md weak-scaling curve (run-upmem-scale.sh analog): rows/s
+        # per device over a device sweep, same per-device workload. On the
+        # virtual CPU mesh this validates the shuffle/join plumbing, not
+        # hardware throughput — label accordingly when committing numbers.
+        curve = []
+        d = 1
+        while d <= n_dev:
+            r = run_at(d)
+            curve.append(
+                {
+                    "devices": d,
+                    "rows_per_s": r,
+                    "rows_per_s_per_device": r / d,
+                }
+            )
+            print(f"# D={d}: {r/1e6:.2f} Mrows/s", file=sys.stderr, flush=True)
+            d *= 2
+        base = curve[0]["rows_per_s_per_device"]
+        for row in curve:
+            row["weak_scaling_efficiency"] = (
+                row["rows_per_s_per_device"] / base
+            )
+        result["curve"] = curve
+        result["platform"] = jax.devices()[0].platform
     print(json.dumps(result))
 
 

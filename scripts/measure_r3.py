@@ -145,6 +145,98 @@ def measure_take():
     )
 
 
+
+
+def measure_take2():
+    """Budget validation for the sort->block-extract->sort take design."""
+    from dpu_olap_tpu.ops.sort_pallas import sort_bitonic
+
+    rng = np.random.default_rng(42)
+    n_idx = 512 << 10
+    idx = jnp.asarray(rng.integers(0, 4 << 20, n_idx, dtype=np.uint32))
+    pos = jnp.arange(n_idx, dtype=jnp.uint32)
+    jax.block_until_ready((idx, pos))
+
+    for leaf in (2048, 4096, 8192):
+        def step(c, leaf=leaf):
+            k, p = sort_bitonic((c, pos), leaf=leaf)
+            return k ^ (p & jnp.uint32(1))
+
+        sec = time_chained(step, idx, k=32)
+        record("take2", f"sort2op_512Ki_leaf{leaf}", sec * 1e3,
+               f"{n_idx/sec/1e6:.0f} M/s")
+
+    # lane-gather throughput inside a trivial Pallas kernel
+    from jax.experimental import pallas as pl
+
+    def gk(x_ref, i_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+
+    for rows in (8192, 32768):
+        x = jnp.asarray(rng.integers(0, 2**31, (rows, 128), dtype=np.int32))
+        li = jnp.asarray(rng.integers(0, 128, (rows, 128), dtype=np.int32))
+        jax.block_until_ready((x, li))
+        f = pl.pallas_call(
+            gk, out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        )
+
+        def step(c, x=x, f=f):
+            return f(x, c) ^ jnp.int32(1)
+
+        sec = time_chained(step, li, k=32)
+        nb = rows * 128 * 4
+        record("take2", f"lanegather_{rows}r", sec * 1e3,
+               f"{3*nb/sec/1e9:.0f} GB/s rwr, {rows*128/sec/1e6:.0f} M idx/s")
+
+
+def measure_take3():
+    """End-to-end take_sorted at the BM_Take shape on the real chip."""
+    from dpu_olap_tpu.ops.take_pallas import take_sorted, gather_sorted_pallas
+    from dpu_olap_tpu.ops.sort_pallas import sort_bitonic
+    from dpu_olap_tpu.ops.take import take as take_old
+
+    rng = np.random.default_rng(42)
+    n, k = 4 << 20, 512 << 10
+    data = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+    idx = jnp.asarray(rng.integers(0, n, k, dtype=np.uint32))
+    jax.block_until_ready((data, idx))
+
+    # correctness on-chip first
+    out, flag = take_sorted(data, idx)
+    exp = np.asarray(data)[np.asarray(idx)]
+    ok = np.array_equal(np.asarray(out), exp)
+    print("on-chip parity:", ok, "flag:", int(flag), flush=True)
+    assert ok
+
+    for wr in (8, 16, 32):
+        def step(c, wr=wr):
+            o, f = take_sorted(data, c, window_rows=wr)
+            return c ^ (o & jnp.uint32(1)) ^ f.astype(jnp.uint32)
+
+        sec = time_chained(step, idx, k=16)
+        record("take3", f"take_sorted_wr{wr}", sec * 1e3,
+               f"{k/sec/1e6:.0f} M idx/s")
+
+    # phase split: kernel alone on pre-sorted input
+    sidx = jnp.sort(idx)
+    jax.block_until_ready(sidx)
+    for sr, wr in ((32, 16), (32, 32), (64, 32), (64, 64), (128, 64)):
+        def stepk(c, sr=sr, wr=wr):
+            v, f = gather_sorted_pallas(data, c, slice_rows=sr, window_rows=wr)
+            return c ^ (v & jnp.uint32(1)) ^ f.astype(jnp.uint32)
+
+        sec = time_chained(stepk, sidx, k=16)
+        record("take3", f"gather_kernel_sr{sr}_wr{wr}", sec * 1e3,
+               f"{k/sec/1e6:.0f} M idx/s")
+
+    # old path for comparison, same process
+    def stepo(c):
+        return c ^ (take_old(data, c) & jnp.uint32(1))
+
+    sec = time_chained(stepo, idx, k=16)
+    record("take3", "take_old", sec * 1e3, f"{k/sec/1e6:.0f} M idx/s")
+
+
 if __name__ == "__main__":
     sections = sys.argv[1:] or ["sum"]
     for s in sections:

@@ -241,3 +241,77 @@ def test_join_sorted_build_multi_payload(rng):
         jnp.asarray(fk), tuple(map(jnp.asarray, ys)),
         jnp.asarray(pk), tuple(map(jnp.asarray, xs)), keys31=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_join_shard_dense_differential():
+    """Dense-pk gather join (ops/merge_xla.join_shard_dense) vs the Arrow
+    oracle — the reference generator's sequential-pk workload."""
+    from dpu_olap_tpu.ops.merge_xla import join_shard_dense
+
+    left, right = make_join_tables(
+        num_batches=1, left_batch_size=1 << 13, right_batch_size=1 << 12
+    )
+    lb, rb = left[0], right[0]
+    fk, (y,), (x,), matched, ovf = join_shard_dense(
+        lb["fk"], (lb["y"],), rb["pk"], (rb["x"],), interpret=True
+    )
+    assert int(ovf) == 0
+    assert bool(jnp.all(matched))
+    cols = join_result_to_numpy(fk, (y,), (x,), matched)
+    got = pa.Table.from_arrays(
+        [pa.array(c) for c in cols], names=["fk", "y", "x"]
+    )
+    expect = arrow_join_oracle(
+        pa.Table.from_batches([lb.to_arrow()]),
+        pa.Table.from_batches([rb.to_arrow()]),
+    ).select(["fk", "y", "x"])
+    assert sort_table(got).equals(sort_table(expect))
+
+
+def test_join_shard_dense_unmatched_and_offset():
+    """fk values outside the dense pk range are masked out; pk may start at
+    a nonzero offset (per-batch dense runs)."""
+    from dpu_olap_tpu.ops.merge_xla import join_shard_dense
+
+    rng = np.random.default_rng(7)
+    n_r, n_l = 1 << 12, 1 << 13
+    lo = 1000
+    pk = np.arange(lo, lo + n_r, dtype=np.uint32)
+    x = rng.integers(0, 2**32, n_r, dtype=np.uint32)
+    fk = rng.integers(0, lo + n_r + 500, n_l, dtype=np.uint32)  # some miss
+    y = rng.integers(0, 2**32, n_l, dtype=np.uint32)
+    kf, (yo,), (xo,), matched, ovf = join_shard_dense(
+        jnp.asarray(fk), (jnp.asarray(y),), jnp.asarray(pk), (jnp.asarray(x),),
+        interpret=True,
+    )
+    assert int(ovf) == 0
+    m = np.asarray(matched)
+    in_range = (fk >= lo) & (fk < lo + n_r)
+    assert m.sum() == in_range.sum()
+    kfn = np.asarray(kf)[m]
+    np.testing.assert_array_equal(np.asarray(xo)[m], x[kfn - lo])
+    # (fk, y) pairs survive together
+    got = sorted(zip(kfn.tolist(), np.asarray(yo)[m].tolist()))
+    exp = sorted(zip(fk[in_range].tolist(), y[in_range].tolist()))
+    assert got == exp
+
+
+def test_join_tpu_dense_detection():
+    """JoinTpu.Prepare flags the reference workload dense and _run_single
+    produces oracle-equal results through the gather path."""
+    from dpu_olap_tpu.operators.join_op import JoinTpu
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+
+    left, right = make_join_tables(
+        num_batches=1, left_batch_size=1 << 13, right_batch_size=1 << 12
+    )
+    op = JoinTpu(DeviceSet.allocate(1), left, right).Prepare()
+    assert op.pk_dense
+    out = op.Run()
+    got = pa.Table.from_arrays(
+        [pa.array(out[c]) for c in ("fk", "y", "x")], names=["fk", "y", "x"]
+    )
+    expect = arrow_join_oracle(
+        left.to_arrow(), right.to_arrow()
+    ).select(["fk", "y", "x"])
+    assert sort_table(got).equals(sort_table(expect))
