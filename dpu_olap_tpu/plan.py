@@ -120,10 +120,63 @@ class HashJoin(Node):
         return Table([Batch.from_numpy(cols)])
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_masked_sum(fns: tuple, column: str):
+    """One jitted chunk program for a (Filter|Project)* -> Sum chain:
+    filters are validity masks fused into the exact-u64 reduction."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.aggregate import sum_u64_pair
+
+    @jax.jit
+    def chunk_fn(cols):
+        valid = None
+        for kind, col, pred in fns:
+            if kind == "filter":
+                m = pred(cols[col])
+                valid = m if valid is None else (valid & m)
+        v = cols[column]
+        if valid is not None:
+            v = jnp.where(valid, v, jnp.uint32(0))
+        return sum_u64_pair(v)
+
+    return chunk_fn
+
+
+def _streamable_chain(node):
+    """If ``node``'s input chain is Source -> (Filter|Project)* it can
+    execute as a device-resident chunk stream. Returns (source_table,
+    transforms source-to-sink) or None."""
+    chain: list = []
+    cur = node
+    while True:
+        if isinstance(cur, Source):
+            return cur.table, list(reversed(chain))
+        if isinstance(cur, (Filter, Project)) and "_cached" not in cur.__dict__:
+            chain.append(cur)
+            cur = cur.input
+            continue
+        return None
+
+
 @dataclasses.dataclass
 class Aggregate(Node):
     """Scalar aggregation (the aggregate ExecNode; AggrSum is the reference's
-    only registered aggregator, shared/umq/kernels.h:44)."""
+    only registered aggregator, shared/umq/kernels.h:44).
+
+    Streaming execution: when the input chain is Source -> (Filter|Project)*,
+    execute() never materializes intermediate host Tables — the whole chain
+    compiles into ONE jitted per-chunk function (filters become validity
+    masks XLA fuses into the reduction: a masked sum reads the column once)
+    and chunks stream through parallel/streaming.stream_rounds with staging
+    overlapped one round ahead. This is the ExecPlan/AsyncGenerator analog
+    (host/filter/filter_native.cc:36-72, generator.cc:73-101): the
+    reference's streaming batches become device-resident chunks, its sink
+    becomes the exact-uint64 partial-sum carry."""
 
     input: Node
     column: str
@@ -132,15 +185,68 @@ class Aggregate(Node):
     def execute(self, ds: DeviceSet) -> Table:
         if self.agg != "sum":
             raise ValueError(f"unsupported aggregate {self.agg!r}")
-        from .operators.aggr_op import SumTpu
+        chain = _streamable_chain(self.input)
+        if chain is not None:
+            result = self._stream_scalar(ds, *chain)
+        else:
+            from .operators.aggr_op import SumTpu
 
-        t = self.input._run(ds)
-        result = SumTpu(ds, t, self.column).Prepare().Run()
+            t = self.input._run(ds)
+            result = SumTpu(ds, t, self.column).Prepare().Run()
         lo = np.uint32(result & 0xFFFFFFFF)
         hi = np.uint32(result >> 32)
         return Table(
             [Batch.from_numpy({f"{self.agg}_lo": np.asarray([lo]), f"{self.agg}_hi": np.asarray([hi])})]
         )
+
+    def _stream_scalar(self, ds: DeviceSet, table: Table, transforms) -> int:
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.aggregate import sum_u64_pair
+        from .ops.filter import default_predicate
+        from .parallel.streaming import stream_rounds
+
+        # columns each chunk needs on device: the aggregated column plus
+        # every filter's predicate column (projections only narrow names)
+        needed = {self.column}
+        for t in transforms:
+            if isinstance(t, Filter):
+                needed.add(t.column)
+
+        fns = []  # (kind, column, predicate) applied in source->sink order
+        for t in transforms:
+            if isinstance(t, Filter):
+                fns.append(("filter", t.column, t.predicate or default_predicate))
+            else:
+                if self.column not in t.columns:
+                    raise KeyError(
+                        f"aggregate column {self.column!r} projected away"
+                    )
+
+        # memoized by (chain shape, column): plans are rebuilt per query but
+        # the fused chunk program is the same — re-jitting per plan instance
+        # would pay a compile per execution
+        chunk_fn = _fused_masked_sum(tuple(fns), self.column)
+
+        def stage(r):
+            b = table[r]
+            return {n: np.asarray(b[n]) for n in needed if n in b.names}
+
+        def dispatch(r, staged):
+            return chunk_fn({n: jax.device_put(a) for n, a in staged.items()})
+
+        def collect(r, handle):
+            # keep the (lo, hi) pair device-resident: per-chunk readbacks
+            # would cost one ~30ms tunnel sync each; one stacked readback at
+            # the end costs one
+            return handle
+
+        parts = stream_rounds(len(table), stage, dispatch, collect)
+        los = np.asarray(jnp.stack([p[0] for p in parts]), dtype=np.uint64)
+        his = np.asarray(jnp.stack([p[1] for p in parts]), dtype=np.uint64)
+        total = int((his << np.uint64(32)).sum(dtype=np.uint64) + los.sum())
+        return total & ((1 << 64) - 1)
 
     def scalar(self, ds: DeviceSet) -> int:
         t = self._run(ds)

@@ -184,6 +184,35 @@ def main():
 
         record("partition_kernel_p8", _tc(pstep, keys, k=4), n)
 
+    # streaming vs materializing plan execution (Filter -> Sum): the
+    # ExecPlan/AsyncGenerator analog (filter_native.cc:36-72) — the
+    # streaming path fuses the filter into the reduction as a mask and
+    # never materializes the filtered Table
+    if pat.search("plan_stream"):
+        from dpu_olap_tpu.plan import Aggregate, Filter, Source
+
+        nb = max(1, sf) * 16
+        table = make_filter_batches(nb, 1 << 16)
+        items = table.num_rows
+
+        def run_streaming():
+            return Aggregate(Filter(Source(table), "a"), "a").scalar(ds)
+
+        def run_materializing():
+            f = Filter(Source(table), "a")
+            f._run(ds)  # materialize -> disables the streaming tier
+            return Aggregate(f, "a").scalar(ds)
+
+        s = run_streaming()
+        m = run_materializing()
+        assert s == m, f"streaming {s} != materializing {m}"
+        record("plan_filter_sum_streaming", bench_host(run_streaming), items)
+        record(
+            "plan_filter_sum_materializing",
+            bench_host(run_materializing),
+            items,
+        )
+
     # device-resident kernel timings (the reference's nb_cycles counter
     # analog, filter_benchmark.cc:134-136): chained-difference timing of the
     # per-shard device program, excluding host<->device transfer — through

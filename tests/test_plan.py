@@ -94,3 +94,62 @@ def test_repartition_plan(ds):
     table = make_filter_batches(8, 1 << 12)
     out = Repartition(Source(table), "a", 16).execute(ds)
     assert out.num_rows == table.num_rows
+
+
+def test_streaming_filter_sum_no_materialization(ds, monkeypatch):
+    """Filter -> Aggregate executes as a fused device chunk stream: the
+    Filter node's materializing execute() is never invoked (the ExecPlan
+    streaming analog, filter_native.cc:36-72) and the result is exact."""
+    from dpu_olap_tpu import plan as plan_mod
+
+    table = make_filter_batches(6, 1 << 12)
+
+    def boom(self, ds):
+        raise AssertionError("Filter.execute materialized a host Table")
+
+    monkeypatch.setattr(plan_mod.Filter, "execute", boom)
+    agg = Aggregate(Filter(Source(table), "a"), "a")
+    got = agg.scalar(ds)
+    expect = 0
+    for b in table:
+        a = np.asarray(b["a"]).astype(np.uint64)
+        expect += int(a[a < (1 << 30)].sum())
+    assert got == expect
+
+
+def test_streaming_project_filter_sum(ds, monkeypatch):
+    from dpu_olap_tpu import plan as plan_mod
+
+    table = make_filter_batches(4, 1 << 12)
+
+    def boom(self, ds):
+        raise AssertionError("chain node materialized a host Table")
+
+    monkeypatch.setattr(plan_mod.Filter, "execute", boom)
+    monkeypatch.setattr(plan_mod.Project, "execute", boom)
+    agg = Aggregate(Project(Filter(Source(table), "a"), ["a"]), "a")
+    got = agg.scalar(ds)
+    expect = 0
+    for b in table:
+        a = np.asarray(b["a"]).astype(np.uint64)
+        expect += int(a[a < (1 << 30)].sum())
+    assert got == expect
+
+
+def test_streaming_matches_materializing(ds):
+    """The streaming path and the forced-materializing path agree."""
+    table = make_filter_batches(4, 1 << 12)
+    agg = Aggregate(Filter(Source(table), "a"), "a")
+    streamed = agg.scalar(ds)
+    # force the materializing tier by pre-running the filter node
+    f = Filter(Source(table), "a")
+    f._run(ds)  # populates the node cache -> chain not streamable
+    agg2 = Aggregate(f, "a")
+    assert agg2.scalar(ds) == streamed
+
+
+def test_streaming_projected_away_column_raises(ds):
+    table = make_filter_batches(2, 1 << 10)
+    agg = Aggregate(Project(Source(table), ["a"]), "b")
+    with pytest.raises(KeyError):
+        agg.scalar(ds)
