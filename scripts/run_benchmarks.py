@@ -117,11 +117,19 @@ def main():
             record("take_native", bench_host(op.Run), items)
 
     # hashtable micro (dpu/shared/hashtable/hashtable_test.{c,py} analog:
-    # 1Mi unique-key inserts + full probe)
-    if pat.search("hashtable"):
+    # 1Mi unique-key inserts + full probe). Default = the sorted-store table
+    # (the performant TPU-native design); the cuckoo path is registered
+    # separately as the direct structural re-expression of hashtable.c.
+    if pat.search("hashtable") or pat.search("hashtable_cuckoo_build_probe"):
         import jax.numpy as jnp
 
-        from dpu_olap_tpu.ops.hashtable import ht_build, ht_probe, table_capacity
+        from dpu_olap_tpu.ops.hashtable import (
+            ht_build,
+            ht_build_sorted,
+            ht_probe,
+            ht_probe_sorted,
+            table_capacity,
+        )
 
         n = 1 << 20
         rng = np.random.default_rng(42)
@@ -130,12 +138,28 @@ def main():
         kj, vj = jnp.asarray(keys), jnp.asarray(vals)
         cap = table_capacity(n)
 
-        def run():
-            t = ht_build(kj, vj, cap)
-            got, found = ht_probe(t, kj)
+        def run_sorted():
+            t = ht_build_sorted(kj, vj)
+            got, found = ht_probe_sorted(t, kj)
             np.asarray(found[:1])
 
-        record("hashtable_build_probe", bench_host(run), n)
+        record("hashtable_build_probe", bench_host(run_sorted), n)
+
+        t_sorted = ht_build_sorted(kj, vj)
+
+        def run_probe_only():
+            got, found = ht_probe_sorted(t_sorted, kj)
+            np.asarray(found[:1])
+
+        record("hashtable_probe", bench_host(run_probe_only), n)
+
+        if pat.search("hashtable_cuckoo_build_probe"):
+            def run_cuckoo():
+                t = ht_build(kj, vj, cap)
+                got, found = ht_probe(t, kj)
+                np.asarray(found[:1])
+
+            record("hashtable_cuckoo_build_probe", bench_host(run_cuckoo), n)
 
     # partition: SF*d batches x 64Ki, P = batches partitions — the reference
     # registers partition_benchmark.cc (DISABLED there because the standalone

@@ -3,6 +3,8 @@ import numpy as np
 import pytest
 
 from dpu_olap_tpu.ops.hashtable import (
+    ht_build_sorted,
+    ht_probe_sorted,
     EMPTY,
     HashTable,
     ht_build,
@@ -82,3 +84,83 @@ def test_sequential_pk_keys(rng):
     got, found = ht_probe(table, jnp.asarray(keys))
     assert bool(jnp.all(found))
     np.testing.assert_array_equal(np.asarray(got), vals)
+
+
+# ---- sorted-store table (the performant TPU-native ht; hashtable.py) ----
+
+
+def _oracle(keys, vals, queries):
+    lut = dict(zip(keys.tolist(), vals.tolist()))
+    exp_found = np.asarray([int(x) in lut for x in queries])
+    exp_val = np.asarray([lut.get(int(x), 0) for x in queries], np.uint32)
+    return exp_val, exp_found
+
+
+def build_sorted(rng, n):
+    keys = rng.choice(np.uint32(2**32 - 2), size=n, replace=False).astype(np.uint32)
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    table = ht_build_sorted(jnp.asarray(keys), jnp.asarray(vals))
+    return keys, vals, table
+
+
+def test_sorted_build_and_probe_all_present(rng):
+    keys, vals, table = build_sorted(rng, 1 << 14)
+    got, found = ht_probe_sorted(table, jnp.asarray(keys))
+    assert bool(jnp.all(found))
+    np.testing.assert_array_equal(np.asarray(got), vals)
+
+
+def test_sorted_probe_hit_miss_mix(rng):
+    keys, vals, table = build_sorted(rng, 1 << 14)
+    queries = np.concatenate(
+        [keys[rng.integers(0, keys.size, 1 << 13)],
+         rng.integers(0, 2**32 - 2, size=1 << 13, dtype=np.uint32)]
+    )
+    rng.shuffle(queries)
+    got, found = ht_probe_sorted(table, jnp.asarray(queries))
+    exp_val, exp_found = _oracle(keys, vals, queries)
+    np.testing.assert_array_equal(np.asarray(found), exp_found)
+    np.testing.assert_array_equal(np.asarray(got), exp_val)
+
+
+def test_sorted_probe_interpret_pallas_path(rng):
+    # The real TPU path (bitonic sorts + merge_probe kernel) in interpret
+    # mode — the simulator tier of the reference's hashtable device test.
+    n = 1 << 14
+    keys = rng.choice(np.uint32(2**32 - 2), size=n, replace=False).astype(np.uint32)
+    vals = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    table = ht_build_sorted(jnp.asarray(keys), jnp.asarray(vals), interpret=True)
+    queries = np.concatenate(
+        [keys[rng.integers(0, n, n // 2)],
+         rng.integers(0, 2**32 - 2, size=n // 2, dtype=np.uint32)]
+    )
+    rng.shuffle(queries)
+    got, found = ht_probe_sorted(table, jnp.asarray(queries), interpret=True)
+    exp_val, exp_found = _oracle(keys, vals, queries)
+    np.testing.assert_array_equal(np.asarray(found), exp_found)
+    np.testing.assert_array_equal(np.asarray(got), exp_val)
+
+
+def test_sorted_valid_mask_and_sentinel(rng):
+    n = 1 << 10
+    keys = rng.choice(np.uint32(2**31), size=n, replace=False).astype(np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    valid = np.zeros(n, bool)
+    valid[: n // 2] = True
+    table = ht_build_sorted(
+        jnp.asarray(keys), jnp.asarray(vals), valid=jnp.asarray(valid)
+    )
+    _, found_valid = ht_probe_sorted(table, jnp.asarray(keys[: n // 2]))
+    _, found_invalid = ht_probe_sorted(table, jnp.asarray(keys[n // 2 :]))
+    assert bool(jnp.all(found_valid))
+    assert not bool(jnp.any(found_invalid))
+    _, found_empty = ht_probe_sorted(table, jnp.asarray([EMPTY], jnp.uint32))
+    assert not bool(found_empty[0])
+
+
+def test_sorted_duplicate_queries(rng):
+    keys, vals, table = build_sorted(rng, 1 << 12)
+    queries = np.repeat(keys[:64], 37)
+    got, found = ht_probe_sorted(table, jnp.asarray(queries))
+    assert bool(jnp.all(found))
+    np.testing.assert_array_equal(np.asarray(got), np.repeat(vals[:64], 37))
