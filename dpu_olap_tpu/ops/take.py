@@ -113,6 +113,42 @@ def take(data: jnp.ndarray, indices: jnp.ndarray, fill: int | None = None) -> jn
     )
 
 
+def _on_tpu() -> bool:
+    from .filter import _on_tpu as f
+
+    return f()
+
+
+def take_fast(
+    data: jnp.ndarray, indices: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Host-side take dispatcher: the sorted-stream Pallas path when eligible
+    (ops/take_pallas.py — sort indices, one streaming table pass, sort back;
+    no random access), with window-overflow doubling retry for adversarially
+    clustered indices, else the row-gather path.
+
+    Not jittable (the retry inspects the overflow flag host-side); jitted
+    callers use take()/take_sorted directly and handle the flag themselves
+    (TakeTpu, run_benchmarks take_kernel)."""
+    from .take_pallas import DEF_WINDOW_ROWS, take_sorted, takeable_sorted
+
+    if not (
+        _row_path_ok(data, indices)
+        and takeable_sorted(data.shape[0], indices.shape[0])
+        and (_on_tpu() or interpret)
+    ):
+        return take(data, indices)
+    wr = DEF_WINDOW_ROWS
+    max_wr = (indices.shape[0] // _LANES) + 1  # all queries in one slice
+    while True:
+        out, flag = take_sorted(data, indices, window_rows=wr, interpret=interpret)
+        if not int(flag):
+            return out
+        if wr >= max_wr:
+            return take(data, indices)
+        wr = min(2 * wr, max_wr)
+
+
 @jax.jit
 def take_masked(data: jnp.ndarray, indices: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Gather with a validity mask: invalid lanes produce 0. Used by padded

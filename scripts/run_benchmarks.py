@@ -286,6 +286,7 @@ def main():
 
         if pat.search("take_kernel"):
             from dpu_olap_tpu.ops.take import take
+            from dpu_olap_tpu.ops.take_pallas import take_sorted, takeable_sorted
 
             n = sf * (1 << 22)
             ni = sf * (1 << 19)
@@ -295,11 +296,41 @@ def main():
             ).astype(jnp.int32)
             jax.block_until_ready((data, idx))
 
-            def tstep(c):
+            if takeable_sorted(n, ni):
+                # sorted-stream path (ops/take_pallas.py): keep BOTH outputs
+                # live in the chain (XLA dead-codes unused operands), and
+                # assert no window overflow once outside the timed region
+                def tstep(c):
+                    out, flag = take_sorted(data, c.astype(jnp.uint32))
+                    return (
+                        c ^ (out & jnp.uint32(1)).astype(jnp.int32) ^ flag
+                    )
+
+                _, f0 = take_sorted(data, idx.astype(jnp.uint32))
+                assert int(f0) == 0, "take window overflow at bench shape"
+            else:
+                def tstep(c):
+                    out = take(data, c)
+                    return c ^ (out & jnp.uint32(1)).astype(jnp.int32)
+
+            record("take_kernel", time_chained(tstep, idx, k=8), ni)
+
+        if pat.search("take_rowgather_kernel"):
+            from dpu_olap_tpu.ops.take import take
+
+            n = sf * (1 << 22)
+            ni = sf * (1 << 19)
+            data = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+            idx = jnp.asarray(
+                rng.integers(0, n, ni, dtype=np.uint32)
+            ).astype(jnp.int32)
+            jax.block_until_ready((data, idx))
+
+            def rstep(c):
                 out = take(data, c)
                 return c ^ (out & jnp.uint32(1)).astype(jnp.int32)
 
-            record("take_kernel", time_chained(tstep, idx, k=8), ni)
+            record("take_rowgather_kernel", time_chained(rstep, idx, k=8), ni)
 
         if pat.search("join_kernel"):
             from dpu_olap_tpu.generator import make_join_tables as _mjt

@@ -104,3 +104,29 @@ def test_take_sorted_clip_semantics(rng):
 )
 def test_takeable_gate(n, k, ok):
     assert takeable_sorted(n, k) == ok
+
+
+def test_take_fast_interpret_matches_oracle(rng):
+    from dpu_olap_tpu.ops.take import take_fast
+
+    n, k = 1 << 14, 1 << 13
+    data = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+    idx = jnp.asarray(rng.integers(0, n, k, dtype=np.uint32))
+    out = take_fast(data, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(data)[np.asarray(idx)]
+    )
+
+
+def test_take_fast_adversarial_clustering_retries(rng):
+    # all indices in one table slice: the default window overflows and the
+    # doubling retry (or row-gather fallback) must still return exact results
+    from dpu_olap_tpu.ops.take import take_fast
+
+    n, k = 1 << 14, 1 << 13
+    data = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+    idx = jnp.asarray(rng.integers(0, 64, k, dtype=np.uint32))
+    out = take_fast(data, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(data)[np.asarray(idx)]
+    )
