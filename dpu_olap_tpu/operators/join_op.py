@@ -158,15 +158,17 @@ class JoinTpu:
 
     # ---- pure-ICI single-round path ---------------------------------------
 
-    def _run_ici(self) -> Dict[str, np.ndarray]:
+    def _run_ici(self, rounds: int | None = None) -> Dict[str, np.ndarray]:
         lf = self.left.concat()
         rt = self.right.concat()
         n_dev = self.ds.nr_devices
         from ..parallel.shuffle import default_cell_size
 
+        if rounds is None:
+            rounds = self._ici_rounds()
         slack = FLAGS.shuffle_slack
-        cell_l = default_cell_size(lf.num_rows // n_dev, n_dev, slack)
-        cell_r = default_cell_size(rt.num_rows // n_dev, n_dev, slack)
+        cell_l = default_cell_size(lf.num_rows // n_dev, n_dev * rounds, slack)
+        cell_r = default_cell_size(rt.num_rows // n_dev, n_dev * rounds, slack)
         with timed(self.timers, "join-total"):
             # Skew handling: on fragment overflow, double the cell capacity
             # and retry (the reference instead throws, partition.cc:19-26;
@@ -179,6 +181,7 @@ class JoinTpu:
                     impl=self.impl,
                     cell_left=cell_l, cell_right=cell_r,
                     keys31=self.keys31,
+                    rounds=rounds,
                 )
                 if not np.any(np.asarray(overflow)):
                     break
@@ -282,11 +285,18 @@ class JoinTpu:
         names = [self.fk, *self.left_cols, *self.right_cols]
         return {n: np.concatenate([c[n] for c in out_chunks]) for n in names}
 
-    # Working-set budget for the all-device-resident path: beyond this the
-    # host-staged Partitioner streams rounds (the reference's virtual-DPU
-    # outer loop, join_dpu.cc:191,254). ~10 uint32 temporaries per row in the
-    # fused join => 64Mi rows/side ~ 5GB of HBM.
-    MAX_RESIDENT_ROWS = 64 << 20
+    # Per-ROUND working-set budget for the fused join: ~10 uint32 temporaries
+    # per row => 64Mi rows/side ~ 5GB of HBM during one round's join.
+    SINGLE_ROUND_ROWS = 64 << 20
+    # Device-resident ceiling: inputs + shuffle cells stay in HBM while the
+    # multi-round lax.scan joins them 1/rounds at a time (dist_join rounds>1);
+    # beyond this the host-staged Partitioner streams out-of-core rounds (the
+    # reference's virtual-DPU outer loop, join_dpu.cc:191,254).
+    MAX_RESIDENT_ROWS = 256 << 20
+
+    def _ici_rounds(self) -> int:
+        rows = max(self.left.num_rows, self.right.num_rows)
+        return max(1, -(-rows // self.SINGLE_ROUND_ROWS))
 
     def Run(self) -> Dict[str, np.ndarray]:
         d = self.ds.nr_devices
@@ -297,8 +307,15 @@ class JoinTpu:
         )
         # join_shard_auto ignores self.impl, so the single-device fast path
         # only serves the default cosort impl; any other requested impl runs
-        # through the ICI path's join_shard(impl=...) even at d == 1.
-        if fits and d == 1 and self.impl == "cosort":
+        # through the ICI path's join_shard(impl=...) even at d == 1 (as do
+        # working sets needing the multi-round resident form).
+        if (
+            fits
+            and d == 1
+            and self.impl == "cosort"
+            and max(self.left.num_rows, self.right.num_rows)
+            <= self.SINGLE_ROUND_ROWS
+        ):
             return self._run_single()
         if fits:
             return self._run_ici()

@@ -42,31 +42,66 @@ def dist_join_spmd(
     impl: str = "cosort",
     axis_name: str = AXIS,
     keys31: bool = False,
+    rounds: int = 1,
 ):
-    """SPMD body (call inside shard_map): co-shuffle + local join."""
+    """SPMD body (call inside shard_map): co-shuffle + local join.
+
+    rounds > 1: the device-resident multi-round join — both sides shuffle
+    once into rounds*axis_size global partitions (one all_to_all), then a
+    lax.scan joins the device's `rounds` HBM-resident partition pairs
+    sequentially, bounding the fused join's working set to 1/rounds of the
+    resident slice. Nothing leaves the device between rounds (the reference
+    instead bounces every fragment through host slabs, join_dpu.cc:254-369).
+    """
     from ..ops.join import join_shard, join_shard_fused  # avoid cycles
 
     right = shuffle_partitions(
-        right_pk, right_payloads, nr_partitions, cell_right, axis_name
+        right_pk, right_payloads, nr_partitions, cell_right, axis_name,
+        rounds=rounds,
     )
     left = shuffle_partitions(
-        left_fk, left_payloads, nr_partitions, cell_left, axis_name
+        left_fk, left_payloads, nr_partitions, cell_left, axis_name,
+        rounds=rounds,
     )
-    rk, rp, r_valid = right.flat()
-    lk, lp, l_valid = left.flat()
-    if impl == "cosort":
-        # fused path: payloads ride the sort, no gathers (rows come back
-        # key-sorted; consumers compact by the matched mask anyway)
-        fk, lcols, rcols, matched = join_shard_fused(
-            lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid,
-            keys31=keys31,
-        )
-    else:
-        fk, lcols, rcols, matched = join_shard(
+
+    def local_join(lk, lp, l_valid, rk, rp, r_valid):
+        if impl == "cosort":
+            # fused path: payloads ride the sort, no gathers (rows come back
+            # key-sorted; consumers compact by the matched mask anyway)
+            return join_shard_fused(
+                lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid,
+                keys31=keys31,
+            )
+        return join_shard(
             lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid, impl=impl
         )
+
     overflow = (left.overflow | right.overflow).reshape(1)
-    return fk, lcols, rcols, matched, overflow
+    if rounds == 1:
+        rk, rp, r_valid = right.flat()
+        lk, lp, l_valid = left.flat()
+        fk, lcols, rcols, matched = local_join(lk, lp, l_valid, rk, rp, r_valid)
+        return fk, lcols, rcols, matched, overflow
+
+    lkp, lpp, lvp = left.round_planes()  # (R, d*cell_l) each
+    rkp, rpp, rvp = right.round_planes()
+
+    def scan_body(carry, xs):
+        lk, lp, lv, rk, rp, rv = xs
+        fk, lcols, rcols, matched = local_join(lk, lp, lv, rk, rp, rv)
+        return carry, (fk, lcols, rcols, matched)
+
+    _, (fk, lcols, rcols, matched) = jax.lax.scan(
+        scan_body, jnp.int32(0), (lkp, lpp, lvp, rkp, rpp, rvp)
+    )
+    m = fk.shape[0] * fk.shape[1]
+    return (
+        fk.reshape(m),
+        tuple(c.reshape(m) for c in lcols),
+        tuple(c.reshape(m) for c in rcols),
+        matched.reshape(m),
+        overflow,
+    )
 
 
 # Keyed on the Mesh OBJECT (held via WeakKeyDictionary, so a GC'd mesh drops
@@ -87,26 +122,29 @@ def dist_join(
     cell_left: int | None = None,
     cell_right: int | None = None,
     keys31: bool = False,
+    rounds: int = 1,
 ):
     """Build and run the distributed join for arrays sharded over ds.
 
     Inputs are globally-shaped arrays sharded on axis 0 across the mesh
     (device i holds rows [i*n/D, (i+1)*n/D)). Returns global padded outputs
-    (fk, left_cols, right_cols, matched, overflow).
+    (fk, left_cols, right_cols, matched, overflow). rounds > 1 joins each
+    device's share as that many sequential HBM-resident partition rounds
+    (see dist_join_spmd).
     """
     n_dev = ds.nr_devices
     n_left_local = left_fk.shape[0] // n_dev
     n_right_local = right_pk.shape[0] // n_dev
     slack = FLAGS.shuffle_slack
-    cell_left = cell_left or default_cell_size(n_left_local, n_dev, slack)
-    cell_right = cell_right or default_cell_size(n_right_local, n_dev, slack)
+    cell_left = cell_left or default_cell_size(n_left_local, n_dev * rounds, slack)
+    cell_right = cell_right or default_cell_size(n_right_local, n_dev * rounds, slack)
 
     # Memoize the wrapped SPMD program: a fresh closure per call would
     # defeat jax.jit's cache and re-trace (and, through the tunnel,
     # potentially re-compile) the whole shuffle+join on every invocation.
     per_mesh = _FN_CACHE.setdefault(ds.mesh, {})
     key = (
-        n_dev, cell_left, cell_right, impl, keys31,
+        n_dev, cell_left, cell_right, impl, keys31, rounds,
         len(left_payloads), len(right_payloads),
     )
     fn = per_mesh.get(key)
@@ -115,7 +153,7 @@ def dist_join(
         def body(lf, lps, rk, rps):
             return dist_join_spmd(
                 lf, lps, rk, rps, n_dev, cell_left, cell_right, impl=impl,
-                keys31=keys31,
+                keys31=keys31, rounds=rounds,
             )
 
         sharded = P(AXIS)

@@ -41,12 +41,19 @@ LANES_ = 128
 
 @dataclasses.dataclass
 class ShuffleResult:
-    """Per-device padded partition fragments (leading dim = source device)."""
+    """Per-device padded partition fragments.
+
+    rounds == 1: leading dim = source device, (P, cell).
+    rounds == R > 1 (the device-resident multi-round form): row s*R + r is
+    the fragment source-device s contributed to MY round-r partition; use
+    round_planes() to regroup into per-round (R, d*cell) planes.
+    """
 
     keys: jnp.ndarray  # (P, cell) uint32, EMPTY in padded lanes
     payloads: Tuple[jnp.ndarray, ...]  # each (P, cell)
     counts: jnp.ndarray  # (P,) uint32 true fragment lengths
     overflow: jnp.ndarray  # bool (1,): some fragment exceeded cell_size
+    rounds: int = 1
 
     def flat(self):
         """Flatten fragments to 1-D (n,) arrays + validity mask."""
@@ -59,11 +66,29 @@ class ShuffleResult:
             valid.reshape(-1),
         )
 
+    def round_planes(self):
+        """(keys (R, d*cell), payloads each (R, d*cell), valid (R, d*cell)) —
+        per-round planes for a lax.scan over resident join rounds."""
+        p, cell = self.keys.shape
+        r = self.rounds
+        d = p // r
+
+        def regroup(x):
+            return x.reshape(d, r, cell).transpose(1, 0, 2).reshape(r, d * cell)
+
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (p, cell), 1)
+        valid = lane < self.counts[:, None]
+        return (
+            regroup(self.keys),
+            tuple(regroup(x) for x in self.payloads),
+            regroup(valid),
+        )
+
 
 jax.tree_util.register_dataclass(
     ShuffleResult,
     data_fields=["keys", "payloads", "counts", "overflow"],
-    meta_fields=[],
+    meta_fields=["rounds"],
 )
 
 
@@ -127,13 +152,24 @@ def shuffle_partitions(
     nr_partitions: int,
     cell_size: int,
     axis_name: str = AXIS,
+    rounds: int = 1,
 ) -> ShuffleResult:
     """SPMD shuffle body: call inside shard_map over ``axis_name`` with
-    nr_partitions == axis size. Local partition -> all_to_all exchange."""
-    ck, cp, counts, overflow = local_fragments(keys, payloads, nr_partitions, cell_size)
-    # The exchange: row p of my cells goes to device p; I receive row
-    # my_index from every device. This is the sg_xfer gather of
-    # partitioner.cc:350-375 expressed as one ICI collective.
+    nr_partitions == axis size. Local partition -> all_to_all exchange.
+
+    rounds > 1 is the device-resident multi-round form (the TPU restatement
+    of the reference's virtual-DPU rounds, join_dpu.cc:191,254, WITHOUT the
+    host sg_xfer bounce): keys bucket into nr_partitions*rounds global
+    partitions, bucket q targets (device q // rounds, local round q % rounds)
+    — contiguous bucket ranges per device, so ONE tiled all_to_all still
+    moves every fragment, and each device then owns `rounds` HBM-resident
+    partitions to join sequentially (ShuffleResult.round_planes)."""
+    ck, cp, counts, overflow = local_fragments(
+        keys, payloads, nr_partitions * rounds, cell_size
+    )
+    # The exchange: rows [t*rounds, (t+1)*rounds) of my cells go to device t;
+    # I receive that row-group from every device. This is the sg_xfer gather
+    # of partitioner.cc:350-375 expressed as one ICI collective.
     recv_k = jax.lax.all_to_all(ck, axis_name, split_axis=0, concat_axis=0, tiled=True)
     recv_p = tuple(
         jax.lax.all_to_all(c, axis_name, split_axis=0, concat_axis=0, tiled=True)
@@ -148,6 +184,7 @@ def shuffle_partitions(
         counts=recv_counts,
         # rank-1 so it can ride a sharded out_spec (one flag per device)
         overflow=overflow.reshape(1),
+        rounds=rounds,
     )
 
 

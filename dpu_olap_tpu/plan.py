@@ -289,4 +289,6 @@ class Repartition(Node):
         t = self.input._run(ds)
         op = PartitionTpu(ds, t, self.key, self.nr_partitions).Prepare()
         parts = op.Run()
+        if hasattr(parts, "to_host"):  # DevicePartitions (resident engine)
+            parts = parts.to_host()
         return Table([Batch.from_numpy(p) for p in parts if len(next(iter(p.values())))])

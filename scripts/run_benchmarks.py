@@ -170,8 +170,14 @@ def main():
         nb = max(d, (sf // d) * d if sf >= d else d) * 4
         table = make_filter_batches(nb, 1 << 16)
         items = table.num_rows
+        # resident engine (default where eligible): partitions stay in HBM,
+        # Run() syncs with a 1-element readback — the TPU-native contract
         op = PartitionTpu(ds, table, "a", nb).Prepare()
         record("partition_tpu", bench_host(op.Run), items)
+        # host-staged engine: every fragment bounces through host slabs
+        # (the reference's sg_xfer analog; out-of-core fallback)
+        op_h = PartitionTpu(ds, table, "a", nb, resident=False).Prepare()
+        record("partition_tpu_host", bench_host(op_h.Run), items)
 
     # partition kernel micro: single-shard fused cells kernel (the device
     # path the shuffle uses; partition.c roofline anchor)

@@ -135,6 +135,9 @@ def test_partition_operator(ds):
     # The standalone partition op (working, unlike the reference's).
     table = make_filter_batches(num_batches=8, batch_size=1 << 12)
     parts = PartitionTpu(ds, table, "a", nr_partitions=16).Prepare().Run()
+    if hasattr(parts, "to_host"):  # resident engine: materialize to check
+        assert parts.nr_partitions == 16
+        parts = parts.to_host()
     assert len(parts) == 16
     allv = np.concatenate([p["a"] for p in parts])
     orig = np.concatenate([np.asarray(b["a"]) for b in table])

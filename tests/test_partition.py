@@ -46,3 +46,42 @@ def test_partition_with_payload(rng):
     pay = rng.integers(0, 2**32, size=4096, dtype=np.uint32)
     res, (moved,) = radix_partition_with_payload(jnp.asarray(keys), (jnp.asarray(pay),), 8)
     np.testing.assert_array_equal(np.asarray(moved), pay[np.asarray(res.selection_indices)])
+
+
+def test_resident_partitioner_matches_host_staged():
+    # Device-resident repartition (VERDICT r2 #4): same global partitions as
+    # the host-staged engine, but nothing leaves HBM until to_host().
+    from dpu_olap_tpu.generator import make_filter_batches
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+    from dpu_olap_tpu.parallel.partitioner import Partitioner, ResidentPartitioner
+
+    ds = DeviceSet.allocate(8)
+    table = make_filter_batches(num_batches=8, batch_size=1 << 12)
+    p = 16
+    host_parts = Partitioner(ds, p).partition_table(table, "a")
+    dparts = ResidentPartitioner(ds, p).partition_table(table, "a")
+    assert dparts.nr_partitions == p and dparts.rounds == p // 8
+    rows = dparts.partition_rows()
+    res_parts = dparts.to_host()
+    for i in range(p):
+        assert rows[i] == len(res_parts[i]["a"]) == len(host_parts[i]["a"])
+        np.testing.assert_array_equal(
+            np.sort(res_parts[i]["a"]), np.sort(host_parts[i]["a"])
+        )
+
+
+def test_resident_partitioner_payload_alignment():
+    # payload rows must move with their keys through the all-to-all cells
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+    from dpu_olap_tpu.parallel.partitioner import ResidentPartitioner
+
+    rng = np.random.default_rng(7)
+    ds = DeviceSet.allocate(8)
+    n = 8 * (1 << 12)
+    keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+    pay = keys ^ np.uint32(0xA5A5A5A5)  # derivable from the key
+    dparts = ResidentPartitioner(ds, 16).partition_arrays(
+        keys, (pay,), ["k", "v"]
+    )
+    for part in dparts.to_host():
+        np.testing.assert_array_equal(part["v"], part["k"] ^ np.uint32(0xA5A5A5A5))
