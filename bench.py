@@ -73,15 +73,56 @@ def main():
         np.all(np.asarray(right[i]["pk"])[1:] >= np.asarray(right[i]["pk"])[:-1])
         for i in range(sf)
     )
+    # pk_dense (pk[i] = pk[0] + i within each batch) upgrades the probe to a
+    # positional streaming gather (join_shard_dense) — always true for the
+    # reference's sequential index pk (generator.cc:59-71). Batches join
+    # independently here, so only per-batch density matters.
+    pk_dense = pk_sorted and all(
+        np.all(np.diff(np.asarray(right[i]["pk"]).astype(np.int64)) == 1)
+        for i in range(sf)
+    )
+    from dpu_olap_tpu.ops.merge_xla import (
+        dense_window_rows,
+        join_dense_eligible,
+        join_shard_dense,
+    )
+
+    from dpu_olap_tpu.ops.filter import _on_tpu
+
+    # gather_sorted_pallas is a TPU kernel; off-TPU (debug runs) stay on the
+    # XLA auto path
+    use_dense = pk_dense and join_dense_eligible(per, per) and _on_tpu()
     details["join_keys31"] = keys31
     details["join_pk_sorted"] = pk_sorted
+    details["join_pk_dense"] = use_dense
     lf = jax.device_put(np.stack([np.asarray(left[i]["fk"]) for i in range(sf)]))
     ly = jax.device_put(np.stack([np.asarray(left[i]["y"]) for i in range(sf)]))
     rk = jax.device_put(np.stack([np.asarray(right[i]["pk"]) for i in range(sf)]))
     rx = jax.device_put(np.stack([np.asarray(right[i]["x"]) for i in range(sf)]))
     jax.block_until_ready((lf, ly, rk, rx))
 
+    # dense path: pick a gather window that does not overflow on this data
+    # (one untimed probe run + doubling retry, the operator's skew pattern)
+    wr = dense_window_rows(per, per)
+    if use_dense:
+        while True:
+            ovf = join_shard_dense(
+                lf[0], (ly[0],), rk[0], (rx[0],), window_rows=wr
+            )[4]
+            if int(np.asarray(ovf)) == 0:
+                break
+            _log(f"dense gather window overflow, retry wr={wr * 2}")
+            wr *= 2
+        _log(f"join path: dense-pk streaming gather (window_rows={wr})")
+
     def join_one(fk_b, ly_b, rk_b, rx_b):
+        if use_dense:
+            fk, (y,), (x,), matched, ovf = join_shard_dense(
+                fk_b, (ly_b,), rk_b, (rx_b,), window_rows=wr
+            )
+            return (fk[:per] & jnp.uint32(1)) ^ (y[:per] & jnp.uint32(2)) \
+                ^ (x[:per] & jnp.uint32(4)) ^ matched[:per].astype(jnp.uint32) \
+                ^ ovf.astype(jnp.uint32)
         fk, (y,), (x,), matched = join_shard_auto(
             fk_b, (ly_b,), rk_b, (rx_b,), keys31=keys31, pk_sorted=pk_sorted
         )
@@ -133,7 +174,10 @@ def main():
         return jax.lax.sort(ops, num_keys=1)
 
     def phase_sort(c):
-        # probe-side sort only (merge path) / full concat sort (fused path)
+        # probe-side sort only (dense/merge paths) / full concat sort (fused)
+        if use_dense:
+            out = _sort([c, ly0])
+            return rehash((out[0] ^ out[1])[:per])
         if use_merge:
             k2 = (c << jnp.uint32(1)) | jnp.uint32(1)
             out = _sort([k2, ly0])
@@ -154,7 +198,15 @@ def main():
         return rehash(acc[:per])
 
     def phase_sort_merge(c):
-        # sort + merge (merge path) / sort + fill (fused path)
+        # sort + gather (dense) / sort + merge (merge) / sort + fill (fused)
+        if use_dense:
+            from dpu_olap_tpu.ops.take_pallas import gather_sorted_pallas
+
+            sidx, sy = _sort([c, ly0])
+            val, f = gather_sorted_pallas(
+                rx0, jnp.minimum(sidx, jnp.uint32(per - 1)), window_rows=wr
+            )
+            return rehash((val ^ sy)[:per] ^ f.astype(jnp.uint32))
         if use_merge:
             from dpu_olap_tpu.ops.merge_xla import bitonic_merge
 
@@ -194,7 +246,7 @@ def main():
     # subtracted phase deltas can go negative (CLAUDE.md gotchas)
     t_sort = time_chained(phase_sort, lf0, k=8)
     t_mid = time_chained(phase_sort_merge, lf0, k=8)
-    mid_name = "merge" if use_merge else "propagate"
+    mid_name = "gather" if use_dense else ("merge" if use_merge else "propagate")
     # phases run on ONE batch, join_sec covers all SF batches: use the
     # per-batch steady-state time for the residual-phase delta
     join_batch_sec = join_sec / sf
@@ -207,11 +259,16 @@ def main():
         f"fill+mask/output={(join_batch_sec-t_mid)*1e3:.2f} ms"
     )
 
-    # correctness spot check (forces one real execution; count on device to
-    # avoid a large readback through the tunnel)
-    fk, (y,), (x,), matched = join_shard_auto(
-        lf0, (ly0,), rk0, (rx0,), keys31=keys31, pk_sorted=pk_sorted
-    )
+    # correctness spot check (forces one real execution of the timed path;
+    # count on device to avoid a large readback through the tunnel)
+    if use_dense:
+        fk, (y,), (x,), matched, _ = join_shard_dense(
+            lf0, (ly0,), rk0, (rx0,), window_rows=wr
+        )
+    else:
+        fk, (y,), (x,), matched = join_shard_auto(
+            lf0, (ly0,), rk0, (rx0,), keys31=keys31, pk_sorted=pk_sorted
+        )
     m = int(np.asarray(jnp.sum(matched.astype(jnp.int32))))
     assert m == per, f"join must match every left row, got {m}/{per}"
     _log("join correctness ok")
