@@ -63,12 +63,17 @@ def _gather_kernel(
 ):
     b = pl.program_id(0)
     lo = (b * (slice_rows * LANES)).astype(jnp.uint32)
+    par = jax.lax.rem(b, 2)
 
     @pl.when(b == 0)
     def _():
         cur_ref[0] = 0
         ovf_ref[0] = 0
         lastrow[...] = jnp.zeros((1, LANES), jnp.uint32)
+        # bootstrap the double-buffered query stream: step 0's window
+        pltpu.make_async_copy(
+            sidx_ref.at[pl.ds(0, window_rows)], qbuf.at[0], sem_in
+        ).start()
 
     cursor = cur_ref[0]
     row0 = jax.lax.div(cursor, LANES)
@@ -76,14 +81,14 @@ def _gather_kernel(
 
     # window of sorted queries at the cursor (row-granular DMA; the sub-row
     # phase is masked below). Caller pads sidx with window_rows extra rows of
-    # 0xFFFFFFFF so this never reads out of bounds.
-    read = pltpu.make_async_copy(
-        sidx_ref.at[pl.ds(row0, window_rows)], qbuf, sem_in
-    )
-    read.start()
-    read.wait()
+    # 0xFFFFFFFF so this never reads out of bounds. The copy into qbuf[par]
+    # was issued LAST step (bootstrap above for b == 0) so its latency
+    # overlapped that step's select tree and output write.
+    pltpu.make_async_copy(
+        sidx_ref.at[pl.ds(row0, window_rows)], qbuf.at[par], sem_in
+    ).wait()
 
-    q = qbuf[:]
+    q = qbuf[par]
     flat = (
         jax.lax.broadcasted_iota(jnp.int32, q.shape, 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
@@ -92,47 +97,77 @@ def _gather_kernel(
     sq = _signed(q)
     mine = (flat >= phase) & (sq < shi)  # q >= lo: smaller were consumed
     c = jnp.sum(mine.astype(jnp.int32))
+    ncur = cursor + c
+    cur_ref[0] = ncur
+
+    # the next step's cursor is now known: issue its query window into the
+    # OTHER buffer so the DMA rides under this step's gather/select/write
+    @pl.when(b + 1 < pl.num_programs(0))
+    def _():
+        pltpu.make_async_copy(
+            sidx_ref.at[pl.ds(jax.lax.div(ncur, LANES), window_rows)],
+            qbuf.at[1 - par],
+            sem_in,
+        ).start()
 
     # per slice row: gather that row at every query's lane (Mosaic lowers the
-    # lane-axis take_along_axis natively), then select it into the slots whose
-    # query lives in that row. The gather must precede the select — a slot's
-    # value is slice[rowsel[slot], lane[slot]], and gathering after a
-    # slot-wise row select would read the row chosen by a DIFFERENT slot.
-    # Garbage slots (consumed / future queries) land outside [cursor,
-    # cursor+c) and are overwritten by later steps or sliced off.
+    # lane-axis take_along_axis natively), then a radix select tree on the
+    # rowsel bits combines the per-row gathers — log2(slice_rows) select
+    # levels (31+5 ops for 32 rows) instead of a linear compare+select chain
+    # (64 ops). The gathers must precede the selects — a slot's value is
+    # slice[rowsel[slot], lane[slot]], and gathering after a slot-wise row
+    # select would read the row chosen by a DIFFERENT slot. Garbage slots
+    # (consumed / future queries) land outside [cursor, cursor+c) and are
+    # overwritten by later steps or sliced off.
     local = q - lo
     rowsel = (local >> 7).astype(jnp.int32)
     lane = (local & jnp.uint32(LANES - 1)).astype(jnp.int32)
-    val = jnp.zeros(q.shape, jnp.uint32)
-    for r in range(slice_rows):
-        g = jnp.take_along_axis(
+    level = [
+        jnp.take_along_axis(
             jnp.broadcast_to(x_ref[r : r + 1, :], q.shape), lane, axis=1
         )
-        val = jnp.where(rowsel == r, g, val)
+        for r in range(slice_rows)
+    ]
+    bit = 1
+    while len(level) > 1:
+        pick = (rowsel & bit) != 0
+        level = [
+            jnp.where(pick, level[i + 1], level[i])
+            for i in range(0, len(level), 2)
+        ]
+        bit <<= 1
+    val = level[0]
 
     # merge the partial first row from the carried previous-step content
     lane_i = jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
     row_i = jax.lax.broadcasted_iota(jnp.int32, val.shape, 0)
     val = jnp.where((row_i == 0) & (lane_i < phase), lastrow[:], val)
-    vbuf[:] = val
-
-    write = pltpu.make_async_copy(
-        vbuf, out_ref.at[pl.ds(row0, window_rows)], sem_out
-    )
-    write.start()
-    write.wait()
 
     # carry the row holding the new cursor for the next step's merge. When
     # the new cursor is row-aligned just past the window, next phase is 0 and
     # the carry is never read.
-    ncur = cursor + c
-    nrow = jnp.minimum(
-        jax.lax.div(ncur, LANES) - row0, window_rows - 1
-    )
+    nrow = jnp.minimum(jax.lax.div(ncur, LANES) - row0, window_rows - 1)
+    # int32 view for the selection-sum (Mosaic has no unsigned reductions);
+    # exactly one row is selected so the sum is that row bit-exactly
     lastrow[:] = jnp.sum(
-        jnp.where(row_i == nrow, vbuf[:], jnp.uint32(0)), axis=0, keepdims=True
-    )
-    cur_ref[0] = ncur
+        jnp.where(row_i == nrow, val, jnp.uint32(0)).astype(jnp.int32),
+        axis=0,
+        keepdims=True,
+    ).astype(jnp.uint32)
+
+    # Overlapped output append: the previous step's write must complete
+    # first (it shares the partial boundary row, whose merged content THIS
+    # buffer carries — the writes must land in step order), then this one
+    # rides under the next step's query read + select tree.
+    @pl.when(b > 0)
+    def _():
+        pltpu.make_async_copy(
+            vbuf.at[1 - par], out_ref.at[pl.ds(0, window_rows)], sem_out
+        ).wait()
+    vbuf[par] = val
+    pltpu.make_async_copy(
+        vbuf.at[par], out_ref.at[pl.ds(row0, window_rows)], sem_out
+    ).start()
 
     # overflow: the window's last entry still belongs to this slice => the
     # run may continue beyond the window and results are invalid.
@@ -145,6 +180,9 @@ def _gather_kernel(
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
+        pltpu.make_async_copy(
+            vbuf.at[par], out_ref.at[pl.ds(row0, window_rows)], sem_out
+        ).wait()
         flag_ref[0] = ovf_ref[0]
 
 
@@ -194,8 +232,8 @@ def gather_sorted_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((window_rows, LANES), jnp.uint32),  # query window
-            pltpu.VMEM((window_rows, LANES), jnp.uint32),  # value window
+            pltpu.VMEM((2, window_rows, LANES), jnp.uint32),  # query windows (2x: lookahead)
+            pltpu.VMEM((2, window_rows, LANES), jnp.uint32),  # value windows (2x: async write)
             pltpu.VMEM((1, LANES), jnp.uint32),  # carried partial row
             pltpu.SMEM((1,), jnp.int32),  # consumed-query cursor
             pltpu.SMEM((1,), jnp.int32),  # overflow accumulator

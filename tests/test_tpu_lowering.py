@@ -1,0 +1,142 @@
+"""AOT TPU lowering checks for every Pallas kernel and fused join program.
+
+Interpret-mode tests validate SEMANTICS but skip Mosaic lowering entirely, so
+a kernel can pass the whole suite and still fail to compile on hardware
+(unsupported reductions, gathers, dtypes — jax raises these client-side while
+lowering to the tpu custom call). ``jax.export`` with platforms=["tpu"] runs
+that exact lowering on any host, no TPU needed — these tests pin every
+device-kernel entry point through it.
+
+This is the tier the reference gets from building dpu binaries at test time
+(a dpu-upmem-dpurte-clang compile failure fails the suite even off-hardware).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax import export
+
+LANES = 128
+
+
+def lowers(fn, *args, static=()):
+    """Assert fn(*args) lowers for the TPU platform; returns module size."""
+    specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
+    exp = export.export(jax.jit(fn), platforms=["tpu"])(*specs)
+    return len(exp.mlir_module())
+
+
+def u32(n):
+    return jnp.zeros((n,), jnp.uint32)
+
+
+# ---- L2 kernels ------------------------------------------------------------
+
+
+def test_lower_filter_kernels():
+    from dpu_olap_tpu.ops.filter_pallas import (
+        filter_compact_pallas,
+        filter_pallas_padded,
+        filter_with_indices_pallas,
+    )
+
+    lowers(lambda v: filter_compact_pallas(v), u32(64 << 10))
+    lowers(lambda v: filter_with_indices_pallas(v), u32(64 << 10))
+    lowers(lambda v: filter_pallas_padded(v), u32(50_000))
+
+
+def test_lower_sort_and_merge():
+    from dpu_olap_tpu.ops.merge_xla import bitonic_merge
+    from dpu_olap_tpu.ops.sort_pallas import sort_bitonic
+
+    lowers(lambda k, p: sort_bitonic((k, p)), u32(64 << 10), u32(64 << 10))
+    # non-pow2 padding wrapper
+    lowers(lambda k: sort_bitonic((k,)), u32(50_000))
+    lowers(lambda k, p: bitonic_merge((k, p)), u32(64 << 10), u32(64 << 10))
+
+
+def test_lower_scan_kernels():
+    from dpu_olap_tpu.ops.scan_pallas import propagate_fill, propagate_last
+
+    n = 64 << 10
+    lowers(
+        lambda a, v: propagate_last(a, (v,)),
+        jnp.zeros((n,), jnp.bool_),
+        u32(n),
+    )
+    lowers(lambda k, v: propagate_fill((k, v)), u32(n), u32(n))
+
+
+def test_lower_partition_cells():
+    from dpu_olap_tpu.ops.partition_pallas import partition_cells_pallas
+
+    lowers(
+        lambda k, p: partition_cells_pallas(k, (p,), 8, 32 << 10),
+        u32(64 << 10),
+        u32(64 << 10),
+    )
+
+
+def test_lower_sum_pallas():
+    from dpu_olap_tpu.ops.aggregate import sum_u64_pair
+
+    lowers(sum_u64_pair, u32(1 << 20))
+
+
+def test_lower_merge_probe():
+    from dpu_olap_tpu.ops.merge_pallas import merge_probe_pallas
+
+    n = 64 << 10
+    lowers(lambda l, r, p: merge_probe_pallas(l, r, (p,)), u32(n), u32(n), u32(n))
+
+
+def test_lower_take_kernels():
+    from dpu_olap_tpu.ops.take_pallas import gather_sorted_pallas, take_sorted
+
+    data, idx = u32(1 << 20), u32(128 << 10)
+    lowers(lambda d, s: gather_sorted_pallas(d, s), data, idx)
+    lowers(lambda d, s: take_sorted(d, s), data, idx)
+
+
+# ---- fused join programs (the flagship paths) -------------------------------
+
+
+def test_lower_join_fused_and_sorted_build():
+    from dpu_olap_tpu.ops.join import join_shard_auto
+
+    n = 64 << 10
+    fk, y, pk, x = u32(n), u32(n), u32(n), u32(n)
+    # generic fused co-sort (keys31 packing on and off)
+    lowers(
+        lambda a, b, c, d: join_shard_auto(a, (b,), c, (d,), keys31=True),
+        fk, y, pk, x,
+    )
+    lowers(
+        lambda a, b, c, d: join_shard_auto(a, (b,), c, (d,)), fk, y, pk, x
+    )
+    # sorted-build bitonic-merge tier
+    lowers(
+        lambda a, b, c, d: join_shard_auto(
+            a, (b,), c, (d,), keys31=True, pk_sorted=True
+        ),
+        fk, y, pk, x,
+    )
+
+
+def test_lower_join_dense():
+    from dpu_olap_tpu.ops.merge_xla import join_shard_dense
+
+    n = 64 << 10
+    lowers(
+        lambda a, b, c, d: join_shard_dense(a, (b,), c, (d,)),
+        u32(n), u32(n), u32(n), u32(n),
+    )
+
+
+def test_lower_flagship_entry():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    lowers(fn, *args)
