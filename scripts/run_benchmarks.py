@@ -138,20 +138,26 @@ def main():
         kj, vj = jnp.asarray(keys), jnp.asarray(vals)
         cap = table_capacity(n)
 
-        def run_sorted():
-            t = ht_build_sorted(kj, vj)
-            got, found = ht_probe_sorted(t, kj)
-            np.asarray(found[:1])
+        # chained device timing (bench/device_time.py): host-wall timing of
+        # a 1Mi micro is dominated by the ~30ms tunnel sync latency, so the
+        # op chains on its own outputs inside one jit and K vs 2K runs are
+        # differenced — the comparable "device kernel" number
+        from dpu_olap_tpu.bench.device_time import time_chained
 
-        record("hashtable_build_probe", bench_host(run_sorted), n)
+        def chain_sorted(c):
+            t = ht_build_sorted(c, vj)
+            got, found = ht_probe_sorted(t, c)
+            return c ^ (got & jnp.uint32(1)) ^ found.astype(jnp.uint32)
+
+        record("hashtable_build_probe", time_chained(chain_sorted, kj, k=4), n)
 
         t_sorted = ht_build_sorted(kj, vj)
 
-        def run_probe_only():
-            got, found = ht_probe_sorted(t_sorted, kj)
-            np.asarray(found[:1])
+        def chain_probe(c):
+            got, found = ht_probe_sorted(t_sorted, c)
+            return c ^ (got & jnp.uint32(1)) ^ found.astype(jnp.uint32)
 
-        record("hashtable_probe", bench_host(run_probe_only), n)
+        record("hashtable_probe", time_chained(chain_probe, kj, k=4), n)
 
         if pat.search("hashtable_cuckoo_build_probe"):
             def run_cuckoo():
