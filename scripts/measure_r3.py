@@ -237,6 +237,82 @@ def measure_take3():
     record("take3", "take_old", sec * 1e3, f"{k/sec/1e6:.0f} M idx/s")
 
 
+def measure_probe():
+    """Sorted-store hashtable probe parts at the hashtable_test shape
+    (1Mi build / 1Mi probe): is the merge stream or a sort the cost?"""
+    from dpu_olap_tpu.ops.hashtable import ht_build_sorted, ht_probe_sorted
+    from dpu_olap_tpu.ops.merge_pallas import merge_probe_pallas
+    from dpu_olap_tpu.ops.sort_pallas import sort_bitonic
+
+    rng = np.random.default_rng(42)
+    n = 1 << 20
+    keys = jnp.asarray(rng.permutation(np.uint32(4 * n))[:n].astype(np.uint32))
+    vals = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+    q = jnp.asarray(rng.integers(0, 4 * n, n, dtype=np.uint32))
+    jax.block_until_ready((keys, vals, q))
+    t = ht_build_sorted(keys, vals)
+    jax.block_until_ready(t.keys)
+
+    def step_build(c):
+        tt = ht_build_sorted(c, vals)
+        return c ^ (tt.keys & jnp.uint32(1))
+
+    sec = time_chained(step_build, keys, k=8)
+    record("probe", "build_sorted_1Mi", sec * 1e3, f"{n/sec/1e6:.0f} M/s")
+
+    def step_merge(c):
+        has, pk, (pv,) = merge_probe_pallas(c, t.keys, (t.values,))
+        return c ^ (pv & jnp.uint32(1)) ^ has.astype(jnp.uint32)
+
+    sq = jnp.sort(q)
+    jax.block_until_ready(sq)
+    sec = time_chained(step_merge, sq, k=8)
+    record("probe", "merge_stream_1Mi", sec * 1e3, f"{n/sec/1e6:.0f} M/s")
+
+    def step_probe(c):
+        got, found = ht_probe_sorted(t, c)
+        return c ^ (got & jnp.uint32(1)) ^ found.astype(jnp.uint32)
+
+    sec = time_chained(step_probe, q, k=8)
+    record("probe", "probe_sorted_1Mi", sec * 1e3, f"{n/sec/1e6:.0f} M/s")
+
+
+def measure_dense():
+    """Dense-pk gather join phases at the flagship shape (2Mi x 2Mi)."""
+    from dpu_olap_tpu.ops.merge_xla import dense_window_rows, join_shard_dense
+    from dpu_olap_tpu.ops.sort_pallas import sort_bitonic
+
+    rng = np.random.default_rng(42)
+    per = 1 << 21
+    fk = jnp.asarray(rng.integers(0, per, per, dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, 2**32, per, dtype=np.uint32))
+    pk = jnp.arange(per, dtype=jnp.uint32)
+    x = jnp.asarray(rng.integers(0, 2**32, per, dtype=np.uint32))
+    jax.block_until_ready((fk, y, pk, x))
+    wr = dense_window_rows(per, per)
+
+    def step_sort(c):
+        k, p = sort_bitonic((c, y))
+        return k ^ (p & jnp.uint32(1))
+
+    sec = time_chained(step_sort, fk, k=8)
+    record("dense", "probe_sort_2Mi", sec * 1e3, f"{per/sec/1e6:.0f} M/s")
+
+    def step_join(c, wr=wr):
+        key, (yo,), (xo,), m, ovf = join_shard_dense(
+            c, (y,), pk, (x,), window_rows=wr
+        )
+        return (
+            c ^ (key & jnp.uint32(1)) ^ (yo & jnp.uint32(2))
+            ^ (xo & jnp.uint32(4)) ^ m.astype(jnp.uint32)
+            ^ ovf.astype(jnp.uint32)
+        )
+
+    sec = time_chained(step_join, fk, k=8)
+    record("dense", f"join_dense_2Mi_wr{wr}", sec * 1e3,
+           f"{per/sec/1e6:.0f} M rows/s")
+
+
 if __name__ == "__main__":
     sections = sys.argv[1:] or ["sum"]
     for s in sections:
