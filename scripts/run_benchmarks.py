@@ -104,6 +104,19 @@ def main():
             op = SumNative(table).Prepare()
             record("sum_native", bench_host(op.Run), items)
 
+    # sum small-batch variant: SF*32 x 64Ki (the second registered shape,
+    # aggr_benchmark.cc:146-155)
+    if pat.search("sum_tpu_small") or pat.search("sum_native_small"):
+        nb = max(d, ((sf * 32) // d) * d)
+        table = make_filter_batches(nb, 1 << 16)
+        items = table.num_rows
+        if pat.search("sum_tpu_small"):
+            op = SumTpu(ds, table).Prepare()
+            record("sum_tpu_small", bench_host(op.Run), items)
+        if pat.search("sum_native_small"):
+            op = SumNative(table).Prepare()
+            record("sum_native_small", bench_host(op.Run), items)
+
     # take: SF x 4Mi data / 512Ki indices (take_benchmark.cc:155-164)
     if pat.search("take_tpu") or pat.search("take_native"):
         nb = max(d, (sf // d) * d if sf >= d else d)
@@ -115,6 +128,19 @@ def main():
         if pat.search("take_native"):
             op = TakeNative(data, idx).Prepare()
             record("take_native", bench_host(op.Run), items)
+
+    # take small-batch variant: SF*64 x 64Ki data / 8Ki idx (the second
+    # registered shape, take_benchmark.cc:155-164)
+    if pat.search("take_tpu_small") or pat.search("take_native_small"):
+        nb = max(d, ((sf * 64) // d) * d)
+        data, idx = make_take_batches(nb, 1 << 16, 1 << 13)
+        items = idx.num_rows
+        if pat.search("take_tpu_small"):
+            op = TakeTpu(ds, data, idx).Prepare()
+            record("take_tpu_small", bench_host(op.Run), items)
+        if pat.search("take_native_small"):
+            op = TakeNative(data, idx).Prepare()
+            record("take_native_small", bench_host(op.Run), items)
 
     # hashtable micro (dpu/shared/hashtable/hashtable_test.{c,py} analog:
     # 1Mi unique-key inserts + full probe). Default = the sorted-store table
