@@ -217,10 +217,16 @@ def measure_take3():
         record("take3", f"take_sorted_wr{wr}", sec * 1e3,
                f"{k/sec/1e6:.0f} M idx/s")
 
-    # phase split: kernel alone on pre-sorted input
+    # phase split: kernel alone on pre-sorted input. Total select-tree work
+    # scales ~ k * slack * slice_rows (window rows ~ slice*(k/n)*slack), so
+    # small slices should win now that the query DMA and output writes are
+    # overlapped — sweep down to slice 8.
     sidx = jnp.sort(idx)
     jax.block_until_ready(sidx)
-    for sr, wr in ((32, 16), (32, 32), (64, 32), (64, 64), (128, 64)):
+    for sr, wr in (
+        (8, 8), (16, 8), (16, 16), (32, 8), (32, 16), (32, 32),
+        (64, 32), (128, 64),
+    ):
         def stepk(c, sr=sr, wr=wr):
             v, f = gather_sorted_pallas(data, c, slice_rows=sr, window_rows=wr)
             return c ^ (v & jnp.uint32(1)) ^ f.astype(jnp.uint32)
@@ -298,19 +304,20 @@ def measure_dense():
     sec = time_chained(step_sort, fk, k=8)
     record("dense", "probe_sort_2Mi", sec * 1e3, f"{per/sec/1e6:.0f} M/s")
 
-    def step_join(c, wr=wr):
-        key, (yo,), (xo,), m, ovf = join_shard_dense(
-            c, (y,), pk, (x,), window_rows=wr
-        )
-        return (
-            c ^ (key & jnp.uint32(1)) ^ (yo & jnp.uint32(2))
-            ^ (xo & jnp.uint32(4)) ^ m.astype(jnp.uint32)
-            ^ ovf.astype(jnp.uint32)
-        )
+    for w in sorted({32, 64, wr}):
+        def step_join(c, w=w):
+            key, (yo,), (xo,), m, ovf = join_shard_dense(
+                c, (y,), pk, (x,), window_rows=w
+            )
+            return (
+                c ^ (key & jnp.uint32(1)) ^ (yo & jnp.uint32(2))
+                ^ (xo & jnp.uint32(4)) ^ m.astype(jnp.uint32)
+                ^ ovf.astype(jnp.uint32)
+            )
 
-    sec = time_chained(step_join, fk, k=8)
-    record("dense", f"join_dense_2Mi_wr{wr}", sec * 1e3,
-           f"{per/sec/1e6:.0f} M rows/s")
+        sec = time_chained(step_join, fk, k=8)
+        record("dense", f"join_dense_2Mi_wr{w}", sec * 1e3,
+               f"{per/sec/1e6:.0f} M rows/s")
 
 
 if __name__ == "__main__":
