@@ -40,6 +40,20 @@ def test_gather_sorted_duplicates_and_gaps(rng):
     np.testing.assert_array_equal(np.asarray(val), data[sidx])
 
 
+@pytest.mark.parametrize("sr,wr", [(8, 8), (16, 8), (16, 16), (64, 32)])
+def test_gather_sorted_slice_geometries(rng, sr, wr):
+    # the slice/window sweep candidates (select work ~ k*slack*slice_rows)
+    n, k = 32 << 10, 8 << 10
+    data = rng.integers(0, 2**32, n, dtype=np.uint32)
+    sidx = np.sort(rng.integers(0, n, k, dtype=np.uint32))
+    val, flag = gather_sorted_pallas(
+        jnp.asarray(data), jnp.asarray(sidx),
+        slice_rows=sr, window_rows=wr, interpret=True,
+    )
+    assert int(flag) == 0
+    np.testing.assert_array_equal(np.asarray(val), data[sidx])
+
+
 def test_take_sorted_uniform(rng):
     n, k = 64 << 10, 16 << 10
     data = rng.integers(0, 2**32, n, dtype=np.uint32)
