@@ -295,8 +295,11 @@ class JoinTpu:
     MAX_RESIDENT_ROWS = 256 << 20
 
     def _ici_rounds(self) -> int:
+        # SINGLE_ROUND_ROWS is a PER-DEVICE budget (HBM is per chip): each
+        # round joins rows/(d*rounds) rows per device
         rows = max(self.left.num_rows, self.right.num_rows)
-        return max(1, -(-rows // self.SINGLE_ROUND_ROWS))
+        per_dev = -(-rows // self.ds.nr_devices)
+        return max(1, -(-per_dev // self.SINGLE_ROUND_ROWS))
 
     def Run(self) -> Dict[str, np.ndarray]:
         d = self.ds.nr_devices
