@@ -31,38 +31,14 @@ from .mesh import AXIS, DeviceSet
 from .shuffle import default_cell_size, shuffle_partitions
 
 
-def dist_join_spmd(
-    left_fk: jnp.ndarray,
-    left_payloads: Tuple[jnp.ndarray, ...],
-    right_pk: jnp.ndarray,
-    right_payloads: Tuple[jnp.ndarray, ...],
-    nr_partitions: int,
-    cell_left: int,
-    cell_right: int,
-    impl: str = "cosort",
-    axis_name: str = AXIS,
-    keys31: bool = False,
-    rounds: int = 1,
-):
-    """SPMD body (call inside shard_map): co-shuffle + local join.
-
-    rounds > 1: the device-resident multi-round join — both sides shuffle
-    once into rounds*axis_size global partitions (one all_to_all), then a
-    lax.scan joins the device's `rounds` HBM-resident partition pairs
-    sequentially, bounding the fused join's working set to 1/rounds of the
-    resident slice. Nothing leaves the device between rounds (the reference
+def join_shuffled(left, right, impl: str = "cosort", keys31: bool = False):
+    """Join two ShuffleResults device-locally (shared by the flat and 2-D
+    shuffles). rounds > 1 scans the per-round HBM-resident partition planes
+    sequentially — nothing leaves the device between rounds (the reference
     instead bounces every fragment through host slabs, join_dpu.cc:254-369).
-    """
-    from ..ops.join import join_shard, join_shard_fused  # avoid cycles
 
-    right = shuffle_partitions(
-        right_pk, right_payloads, nr_partitions, cell_right, axis_name,
-        rounds=rounds,
-    )
-    left = shuffle_partitions(
-        left_fk, left_payloads, nr_partitions, cell_left, axis_name,
-        rounds=rounds,
-    )
+    Returns (fk, left_cols, right_cols, matched, overflow)."""
+    from ..ops.join import join_shard, join_shard_fused  # avoid cycles
 
     def local_join(lk, lp, l_valid, rk, rp, r_valid):
         if impl == "cosort":
@@ -77,7 +53,8 @@ def dist_join_spmd(
         )
 
     overflow = (left.overflow | right.overflow).reshape(1)
-    if rounds == 1:
+    assert left.rounds == right.rounds
+    if left.rounds == 1:
         rk, rp, r_valid = right.flat()
         lk, lp, l_valid = left.flat()
         fk, lcols, rcols, matched = local_join(lk, lp, l_valid, rk, rp, r_valid)
@@ -102,6 +79,39 @@ def dist_join_spmd(
         matched.reshape(m),
         overflow,
     )
+
+
+def dist_join_spmd(
+    left_fk: jnp.ndarray,
+    left_payloads: Tuple[jnp.ndarray, ...],
+    right_pk: jnp.ndarray,
+    right_payloads: Tuple[jnp.ndarray, ...],
+    nr_partitions: int,
+    cell_left: int,
+    cell_right: int,
+    impl: str = "cosort",
+    axis_name: str = AXIS,
+    keys31: bool = False,
+    rounds: int = 1,
+):
+    """SPMD body (call inside shard_map): co-shuffle + local join.
+
+    rounds > 1: the device-resident multi-round join — both sides shuffle
+    once into rounds*axis_size global partitions (one all_to_all), then a
+    lax.scan joins the device's `rounds` HBM-resident partition pairs
+    sequentially, bounding the fused join's working set to 1/rounds of the
+    resident slice. Nothing leaves the device between rounds (the reference
+    instead bounces every fragment through host slabs, join_dpu.cc:254-369).
+    """
+    right = shuffle_partitions(
+        right_pk, right_payloads, nr_partitions, cell_right, axis_name,
+        rounds=rounds,
+    )
+    left = shuffle_partitions(
+        left_fk, left_payloads, nr_partitions, cell_left, axis_name,
+        rounds=rounds,
+    )
+    return join_shuffled(left, right, impl=impl, keys31=keys31)
 
 
 # Keyed on the Mesh OBJECT (held via WeakKeyDictionary, so a GC'd mesh drops

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.join import join_shard_fused
 from .shuffle import ShuffleResult, local_fragments
 
 DCN_AXIS = "dcn"
@@ -68,21 +67,30 @@ def shuffle_partitions_2d(
     n_hosts: int,
     chips_per_host: int,
     cell_size: int,
+    rounds: int = 1,
 ) -> ShuffleResult:
     """SPMD body (inside shard_map over (DCN_AXIS, ICI_AXIS)): hierarchical
-    two-stage fragment exchange. Global partition p = h*C + c lives on
-    device (h, c)."""
+    two-stage fragment exchange. Global partition p = (h*C + c)*rounds + r
+    lives on device (h, c) as its HBM-resident round r — the same
+    device-resident multi-round form as the flat shuffle (rounds > 1), so
+    ShuffleResult.round_planes works identically: received row s*rounds + r
+    is source-device s's fragment of MY round-r partition (source index
+    s = src_host*C + src_chip, host-major — exactly the order the two-stage
+    exchange produces)."""
     h, c = n_hosts, chips_per_host
-    p = h * c
+    p = h * c * rounds
     ck, cp, counts, overflow = local_fragments(keys, payloads, p, cell_size)
 
     def two_stage(x):
-        # (P, cell...) -> (H, C, cell...): leading axes = (dest host, dest chip)
-        hc = x.reshape((h, c) + x.shape[1:])
+        # (P, cell...) -> (H, C, R, cell...): leading = (dest host, dest
+        # chip, local round) — rounds are the fastest bucket axis, so they
+        # ride the exchanges untouched
+        hc = x.reshape((h, c, rounds) + x.shape[1:])
         # stage 1: within host, dest-chip axis -> source-chip axis
         s1 = jax.lax.all_to_all(hc, ICI_AXIS, split_axis=1, concat_axis=1, tiled=True)
         # stage 2: across hosts, dest-host axis -> source-host axis
         s2 = jax.lax.all_to_all(s1, DCN_AXIS, split_axis=0, concat_axis=0, tiled=True)
+        # leading axes now (src host, src chip, round) -> flatten host-major
         return s2.reshape((p,) + x.shape[1:])
 
     recv_k = two_stage(ck)
@@ -93,34 +101,36 @@ def shuffle_partitions_2d(
         payloads=recv_p,
         counts=recv_counts,
         overflow=overflow.reshape(1),
+        rounds=rounds,
     )
 
 
 def dist_join_2d_spmd(
     left_fk, left_payloads, right_pk, right_payloads,
     n_hosts: int, chips_per_host: int, cell_left: int, cell_right: int,
+    rounds: int = 1,
 ):
-    """Full multi-host join body: hierarchical co-shuffle + fused local join."""
+    """Full multi-host join body: hierarchical co-shuffle + fused local join
+    (rounds > 1: the device-resident multi-round scan, see
+    dist_join.join_shuffled)."""
+    from .dist_join import join_shuffled
+
     right = shuffle_partitions_2d(
-        right_pk, right_payloads, n_hosts, chips_per_host, cell_right
+        right_pk, right_payloads, n_hosts, chips_per_host, cell_right,
+        rounds=rounds,
     )
     left = shuffle_partitions_2d(
-        left_fk, left_payloads, n_hosts, chips_per_host, cell_left
+        left_fk, left_payloads, n_hosts, chips_per_host, cell_left,
+        rounds=rounds,
     )
-    rk, rp, r_valid = right.flat()
-    lk, lp, l_valid = left.flat()
-    fk, lcols, rcols, matched = join_shard_fused(
-        lk, lp, rk, rp, left_valid=l_valid, right_valid=r_valid
-    )
-    overflow = (left.overflow | right.overflow).reshape(1)
-    return fk, lcols, rcols, matched, overflow
+    return join_shuffled(left, right)
 
 
 def dist_join_2d(
     mesh: Mesh,
     left_fk, left_payloads: Tuple, right_pk, right_payloads: Tuple,
     cell_left: int | None = None, cell_right: int | None = None,
-    slack: float | None = None,
+    slack: float | None = None, rounds: int = 1,
 ):
     """Run the multi-host distributed join for arrays sharded over both mesh
     axes (row-major device order)."""
@@ -130,13 +140,19 @@ def dist_join_2d(
     h, c = mesh.shape[DCN_AXIS], mesh.shape[ICI_AXIS]
     n_dev = h * c
     slack = slack or FLAGS.shuffle_slack
-    cell_left = cell_left or default_cell_size(left_fk.shape[0] // n_dev, n_dev, slack)
-    cell_right = cell_right or default_cell_size(right_pk.shape[0] // n_dev, n_dev, slack)
+    cell_left = cell_left or default_cell_size(
+        left_fk.shape[0] // n_dev, n_dev * rounds, slack
+    )
+    cell_right = cell_right or default_cell_size(
+        right_pk.shape[0] // n_dev, n_dev * rounds, slack
+    )
 
     spec = P((DCN_AXIS, ICI_AXIS))
 
     def body(lf, lps, rk, rps):
-        return dist_join_2d_spmd(lf, lps, rk, rps, h, c, cell_left, cell_right)
+        return dist_join_2d_spmd(
+            lf, lps, rk, rps, h, c, cell_left, cell_right, rounds=rounds
+        )
 
     fn = jax.jit(
         jax.shard_map(

@@ -70,3 +70,29 @@ def test_hierarchical_matches_flat(mesh, rng):
     np.testing.assert_array_equal(
         a[:, np.lexsort(a)], b[:, np.lexsort(b)]
     )
+
+
+def test_dist_join_2d_multi_round_resident(mesh):
+    # Device-resident multi-round form on the hierarchical mesh: one
+    # two-stage exchange into rounds*H*C global partitions, lax.scan over
+    # each device's resident rounds (same contract as the flat rounds>1).
+    n_b, bl, br = 8, 1 << 11, 1 << 10
+    left, right = make_join_tables(n_b, bl, br)
+    lf = left.concat()
+    rt = right.concat()
+    fk, (y,), (x,), matched, overflow = dist_join_2d(
+        mesh, lf["fk"], (lf["y"],), rt["pk"], (rt["x"],), rounds=2
+    )
+    assert not np.any(np.asarray(overflow))
+    m = np.asarray(matched)
+    assert m.sum() == n_b * bl
+    got = pa.Table.from_arrays(
+        [pa.array(np.asarray(fk)[m]), pa.array(np.asarray(y)[m]),
+         pa.array(np.asarray(x)[m])],
+        names=["fk", "y", "x"],
+    )
+    expect = pa.Table.from_batches([b.to_arrow() for b in left]).join(
+        pa.Table.from_batches([b.to_arrow() for b in right]),
+        keys="fk", right_keys="pk", join_type="inner",
+    ).select(["fk", "y", "x"])
+    assert sort_table(got).equals(sort_table(expect))
