@@ -105,7 +105,10 @@ def main():
     # (one untimed probe run + doubling retry, the operator's skew pattern)
     wr = dense_window_rows(per, per)
     if use_dense:
-        while True:
+        # capped doubling (each retry recompiles through the tunnel); a
+        # workload that still overflows reverts to the auto path
+        max_wr = 4 * wr
+        while wr <= max_wr:
             ovf = join_shard_dense(
                 lf[0], (ly[0],), rk[0], (rx[0],), window_rows=wr
             )[4]
@@ -113,7 +116,11 @@ def main():
                 break
             _log(f"dense gather window overflow, retry wr={wr * 2}")
             wr *= 2
-        _log(f"join path: dense-pk streaming gather (window_rows={wr})")
+        else:
+            use_dense = False
+            details["join_pk_dense"] = False
+        if use_dense:
+            _log(f"join path: dense-pk streaming gather (window_rows={wr})")
 
     def join_one(fk_b, ly_b, rk_b, rx_b):
         if use_dense:

@@ -132,18 +132,25 @@ class JoinTpu:
 
                 if join_dense_eligible(lf.num_rows, rt.num_rows):
                     # gather-window skew retry (same pattern as the shuffle
-                    # cell-doubling below): doubling is bounded by the query
-                    # count, so this terminates
+                    # cell-doubling below), CAPPED: unmatched fks all clip to
+                    # index n_r-1 and form one run the window must cover, so
+                    # heavily-unmatched workloads would otherwise double
+                    # forever (each doubling recompiles and grows VMEM);
+                    # past the cap the sorted-build auto path takes over
                     wr = dense_window_rows(lf.num_rows, rt.num_rows)
-                    while True:
+                    max_wr = 4 * dense_window_rows(lf.num_rows, rt.num_rows)
+                    while wr <= max_wr:
                         fk, lcols, rcols, matched, ovf = join_shard_dense(
                             *args, window_rows=wr, interpret=not _on_tpu()
                         )
                         if int(ovf) == 0:
                             break
-                        log(f"join dense window overflow, retry wr={wr * 2}")
                         fk = None
                         wr *= 2
+                        log(
+                            f"join dense window overflow, "
+                            f"{'retry wr=%d' % wr if wr <= max_wr else 'falling back to auto'}"
+                        )
             if fk is None:
                 fk, lcols, rcols, matched = join_shard_auto(
                     *args, keys31=self.keys31, pk_sorted=self.pk_sorted

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .filter import _on_tpu
 from .hashing import wang_hash
 
 EMPTY = np.uint32(0xFFFFFFFF)
@@ -226,12 +227,6 @@ def ht_probe(
 # ---------------------------------------------------------------------------
 
 
-def _on_tpu() -> bool:
-    from .filter import _on_tpu as f
-
-    return f()
-
-
 @dataclasses.dataclass
 class SortedTable:
     keys: jnp.ndarray  # uint32[n] ascending; EMPTY-padded tail for invalid
@@ -296,7 +291,19 @@ def ht_probe_sorted(
     if use_pallas:
         from .merge_pallas import merge_probe_pallas
 
-        sq, spos = sort_bitonic((q, pos), interpret=interpret)
+        # pad to the sort's power-of-two length HERE with distinct pos keys
+        # >= k: queries may legitimately BE the EMPTY sentinel (padded
+        # fragments), and sort_bitonic's anonymous internal pads would
+        # interleave with them, leaking pad payloads into the kept slice
+        # and displacing real pos entries through the restore sort
+        # (round-3 review finding). With pos = k..npow-1 the pads restore
+        # to [k, npow) and [:k] is exact.
+        npow = 1 << (k - 1).bit_length()
+        q_p, pos_p = q, pos
+        if npow != k:
+            q_p = jnp.concatenate([q, jnp.full((npow - k,), EMPTY, jnp.uint32)])
+            pos_p = jnp.arange(npow, dtype=jnp.uint32)
+        sq, spos = sort_bitonic((q_p, pos_p), interpret=interpret)
         has, pkey, (pval,) = merge_probe_pallas(
             sq, table.keys, (table.values,), interpret=interpret
         )

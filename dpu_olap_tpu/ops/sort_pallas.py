@@ -387,7 +387,7 @@ def sort_bitonic(
     (see module docstring).
 
     Non-power-of-two lengths are padded to the next power of two with
-    0xFFFFFFFF keys (payloads 0) and the outputs sliced back to n. The
+    0xFFFFFFFF keys (payloads 0xFFFFFFFF) and the outputs sliced back to n. The
     bitonic network is unstable, so when REAL keys equal 0xFFFFFFFF their
     payloads may interleave with the padding's zeros in the slice — callers
     must either keep keys < 0xFFFFFFFF or not depend on max-key payloads
@@ -399,11 +399,15 @@ def sort_bitonic(
     assert 2 * leaf >= LANES, f"leaf={leaf} too small (cascade needs >= 64)"
     n = 1 << (n_out - 1).bit_length()
     if n != n_out:
+        # pad payloads with the MAX value, not 0: callers whose real keys
+        # stay < 0xFFFFFFFF are unaffected (pads sort strictly last), and
+        # callers with sentinel max keys (take_sorted, ht_probe_sorted) can
+        # then distinguish leaked pad payloads from real ones — a pad
+        # payload of 0 once displaced a real pos-0 entry through the
+        # restore sort (round-3 review finding, tests pin it now)
         planes = tuple(
-            jnp.concatenate(
-                [p, jnp.full((n - n_out,), 0xFFFFFFFF if i == 0 else 0, p.dtype)]
-            )
-            for i, p in enumerate(planes)
+            jnp.concatenate([p, jnp.full((n - n_out,), 0xFFFFFFFF, p.dtype)])
+            for p in planes
         )
     rows = n // leaf
     block = block_rows * LANES

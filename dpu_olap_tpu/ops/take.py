@@ -23,6 +23,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .filter import _on_tpu
+
 _LANES = 128
 
 
@@ -111,12 +113,6 @@ def take(data: jnp.ndarray, indices: jnp.ndarray, fill: int | None = None) -> jn
     return jnp.take(
         data, indices.astype(jnp.int32), axis=0, mode="fill", fill_value=fill
     )
-
-
-def _on_tpu() -> bool:
-    from .filter import _on_tpu as f
-
-    return f()
 
 
 def take_fast(

@@ -279,16 +279,21 @@ def take_sorted(
     npad = (-n) % blk
     if npad:
         data = jnp.concatenate([data, jnp.zeros((npad,), data.dtype)])
-    kpad = (-k) % LANES
+    # pad the queries to the sort's power-of-two length OURSELVES with pos
+    # keys k..N-1 (monotone, distinct): sort_bitonic then pads nothing, so
+    # no anonymous pad payloads can interleave with the real 0xFFFFFFFF-key
+    # pad queries and displace real pos entries through the restore sort
+    # (round-3 review finding: a pad pos of 0 shifted every output element
+    # for any non-power-of-two padded k). spos is then an exact permutation
+    # of 0..N-1, the restore sort puts pads at [k, N), and [:k] is exact.
+    npow = 1 << (k - 1).bit_length()
     idxc = jnp.minimum(indices.astype(jnp.uint32), jnp.uint32(n - 1))
-    pos = jnp.arange(k, dtype=jnp.uint32)
-    if kpad:
-        # pad queries sort to the tail (never consumed; sliced off after the
-        # second sort because their pos keys are also maximal)
+    pos = jnp.arange(npow, dtype=jnp.uint32)
+    if npow != k:
+        # pad queries sort to the tail (clipped >= n is never consumed)
         idxc = jnp.concatenate(
-            [idxc, jnp.full((kpad,), 0xFFFFFFFF, jnp.uint32)]
+            [idxc, jnp.full((npow - k,), 0xFFFFFFFF, jnp.uint32)]
         )
-        pos = jnp.concatenate([pos, jnp.full((kpad,), 0xFFFFFFFF, jnp.uint32)])
     sidx, spos = sort_bitonic((idxc, pos), interpret=interpret)
     bits = (
         data

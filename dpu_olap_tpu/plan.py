@@ -215,14 +215,23 @@ class Aggregate(Node):
                 needed.add(t.column)
 
         fns = []  # (kind, column, predicate) applied in source->sink order
+        avail = None  # None = every source column (narrowed by Projects)
         for t in transforms:
             if isinstance(t, Filter):
+                # match the materializing tier: a predicate column dropped
+                # by an upstream Project is an error, not a silent read
+                # through to the source
+                if avail is not None and t.column not in avail:
+                    raise KeyError(
+                        f"filter column {t.column!r} projected away"
+                    )
                 fns.append(("filter", t.column, t.predicate or default_predicate))
             else:
                 if self.column not in t.columns:
                     raise KeyError(
                         f"aggregate column {self.column!r} projected away"
                     )
+                avail = set(t.columns)
 
         # memoized by (chain shape, column): plans are rebuilt per query but
         # the fused chunk program is the same — re-jitting per plan instance

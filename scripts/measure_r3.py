@@ -72,16 +72,19 @@ def measure_take():
             rows = jnp.take(tbl, c, axis=0)
             return c ^ (rows[:, 0] & jnp.uint32(1)).astype(jnp.int32)
 
-        sec = time_chained(step, ridx, k=4)
+        sec = time_chained(step, ridx, k=8)
         record(
             "rowgather_w", f"w{w}_16MB", sec * 1e3,
             f"{n_idx/sec/1e6:.0f} M rows/s",
         )
 
-    # (b) row-gather rate vs table size at width 128
+    # (b) row-gather rate vs table size at width 128 (generate per size:
+    # data[] holds only 16MB, so slicing silently truncated the 32MB point)
     for mb in (1, 2, 4, 8, 16, 32):
         nd = mb << 18  # mb MB of uint32
-        tbl = data[:nd].reshape(-1, 128)
+        tbl = jnp.asarray(
+            rng.integers(0, 2**32, nd, dtype=np.uint32)
+        ).reshape(-1, 128)
         ridx = jnp.asarray(
             rng.integers(0, nd // 128, n_idx, dtype=np.uint32)
         ).astype(jnp.int32)
@@ -91,7 +94,7 @@ def measure_take():
             rows = jnp.take(tbl, c, axis=0)
             return c ^ (rows[:, 0] & jnp.uint32(1)).astype(jnp.int32)
 
-        sec = time_chained(step, ridx, k=4)
+        sec = time_chained(step, ridx, k=8)
         record(
             "rowgather_sz", f"{mb}MB_w128", sec * 1e3,
             f"{n_idx/sec/1e6:.0f} M rows/s",
@@ -108,7 +111,7 @@ def measure_take():
             rows = jnp.take(tbl, c, axis=0)
             return c ^ (rows[:, 0] & jnp.uint32(1)).astype(jnp.int32)
 
-        sec = time_chained(step, ridx, k=4)
+        sec = time_chained(step, ridx, k=8)
         record(
             "rowgather_order", f"{name}_16MB_w128", sec * 1e3,
             f"{n_idx/sec/1e6:.0f} M rows/s",
@@ -124,7 +127,7 @@ def measure_take():
             out = jnp.take(data, c)
             return c ^ (out & jnp.uint32(1)).astype(jnp.int32)
 
-        sec = time_chained(step, eidx, k=4)
+        sec = time_chained(step, eidx, k=8)
         record(
             "elemgather_order", f"{name}_16MB", sec * 1e3,
             f"{n_idx/sec/1e6:.0f} M idx/s",
@@ -138,7 +141,7 @@ def measure_take():
         rows = jnp.take(tbl, c, axis=0, indices_are_sorted=True)
         return c ^ (rows[:, 0] & jnp.uint32(1)).astype(jnp.int32)
 
-    sec = time_chained(step_hint, sidx, k=4)
+    sec = time_chained(step_hint, sidx, k=8)
     record(
         "rowgather_order", "sorted_hint_16MB_w128", sec * 1e3,
         f"{n_idx/sec/1e6:.0f} M rows/s",
@@ -261,7 +264,9 @@ def measure_probe():
 
     def step_build(c):
         tt = ht_build_sorted(c, vals)
-        return c ^ (tt.keys & jnp.uint32(1))
+        # keep BOTH sort operands live (CLAUDE.md: XLA dead-codes unused
+        # sort operands; keys-only would time a 1-op sort)
+        return c ^ (tt.keys & jnp.uint32(1)) ^ (tt.values & jnp.uint32(2))
 
     sec = time_chained(step_build, keys, k=8)
     record("probe", "build_sorted_1Mi", sec * 1e3, f"{n/sec/1e6:.0f} M/s")

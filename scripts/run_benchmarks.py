@@ -146,7 +146,11 @@ def main():
     # 1Mi unique-key inserts + full probe). Default = the sorted-store table
     # (the performant TPU-native design); the cuckoo path is registered
     # separately as the direct structural re-expression of hashtable.c.
-    if pat.search("hashtable") or pat.search("hashtable_cuckoo_build_probe"):
+    if (
+        pat.search("hashtable_build_probe")
+        or pat.search("hashtable_probe")
+        or pat.search("hashtable_cuckoo_build_probe")
+    ):
         import jax.numpy as jnp
 
         from dpu_olap_tpu.ops.hashtable import (
@@ -175,15 +179,19 @@ def main():
             got, found = ht_probe_sorted(t, c)
             return c ^ (got & jnp.uint32(1)) ^ found.astype(jnp.uint32)
 
-        record("hashtable_build_probe", time_chained(chain_sorted, kj, k=4), n)
+        if pat.search("hashtable_build_probe"):
+            record(
+                "hashtable_build_probe", time_chained(chain_sorted, kj, k=8), n
+            )
 
-        t_sorted = ht_build_sorted(kj, vj)
+        if pat.search("hashtable_probe"):
+            t_sorted = ht_build_sorted(kj, vj)
 
-        def chain_probe(c):
-            got, found = ht_probe_sorted(t_sorted, c)
-            return c ^ (got & jnp.uint32(1)) ^ found.astype(jnp.uint32)
+            def chain_probe(c):
+                got, found = ht_probe_sorted(t_sorted, c)
+                return c ^ (got & jnp.uint32(1)) ^ found.astype(jnp.uint32)
 
-        record("hashtable_probe", time_chained(chain_probe, kj, k=4), n)
+            record("hashtable_probe", time_chained(chain_probe, kj, k=8), n)
 
         if pat.search("hashtable_cuckoo_build_probe"):
             def run_cuckoo():

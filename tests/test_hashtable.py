@@ -164,3 +164,24 @@ def test_sorted_duplicate_queries(rng):
     got, found = ht_probe_sorted(table, jnp.asarray(queries))
     assert bool(jnp.all(found))
     np.testing.assert_array_equal(np.asarray(got), np.repeat(vals[:64], 37))
+
+
+def test_probe_sorted_empty_queries_nonpow2(rng):
+    # Round-3 review regression: EMPTY-sentinel queries (padded-fragment
+    # idiom) with a non-power-of-two query count used to interleave with
+    # sort-internal pads and displace real results from query 0 onward.
+    from dpu_olap_tpu.ops.hashtable import EMPTY, ht_build_sorted, ht_probe_sorted
+
+    n, k = 16 << 10, 9_001
+    keys = rng.permutation(np.uint32(4 * n))[:n].astype(np.uint32)
+    vals = keys ^ np.uint32(0xA5A5A5A5)
+    t = ht_build_sorted(jnp.asarray(keys), jnp.asarray(vals), interpret=True)
+    q = rng.integers(0, 4 * n, k, dtype=np.uint32)
+    q[rng.choice(k, 100, replace=False)] = EMPTY
+    got, found = ht_probe_sorted(t, jnp.asarray(q), interpret=True)
+    keyset = set(keys.tolist())
+    exp_found = np.array([x != EMPTY and x in keyset for x in q.tolist()])
+    np.testing.assert_array_equal(np.asarray(found), exp_found)
+    np.testing.assert_array_equal(
+        np.asarray(got)[exp_found], (q ^ np.uint32(0xA5A5A5A5))[exp_found]
+    )

@@ -153,3 +153,15 @@ def test_streaming_projected_away_column_raises(ds):
     agg = Aggregate(Project(Source(table), ["a"]), "b")
     with pytest.raises(KeyError):
         agg.scalar(ds)
+
+
+def test_streaming_rejects_projected_filter_column(ds):
+    # parity with the materializing tier: a filter on a column an upstream
+    # Project dropped must raise, not silently read through to the source
+    from dpu_olap_tpu.generator import make_filter_batches
+    from dpu_olap_tpu.plan import Aggregate, Filter, Project, Source
+
+    table = make_filter_batches(num_batches=8, batch_size=1 << 10)
+    plan = Aggregate(Filter(Project(Source(table), ["b"]), "a"), "b")
+    with pytest.raises(KeyError):
+        plan.execute(ds)

@@ -144,3 +144,18 @@ def test_take_fast_adversarial_clustering_retries(rng):
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(data)[np.asarray(idx)]
     )
+
+
+def test_take_sorted_nonpow2_padded_k(rng):
+    # Round-3 review regression: k whose 128-padded size is NOT a power of
+    # two used to leak sort-internal pad payloads (pos 0) into the restore
+    # sort, shifting nearly every output element while reporting flag=0.
+    n = 64 << 10
+    for k in (10_000, 9_001):
+        data = rng.integers(0, 2**32, n, dtype=np.uint32)
+        idx = rng.integers(0, n, k, dtype=np.uint32)
+        out, flag = take_sorted(
+            jnp.asarray(data), jnp.asarray(idx), window_rows=64, interpret=True
+        )
+        assert int(flag) == 0
+        np.testing.assert_array_equal(np.asarray(out), data[idx])
