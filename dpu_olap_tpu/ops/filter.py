@@ -98,10 +98,21 @@ def filter_compact(
     return _filter_compact_xla(values, predicate, impl, fill)
 
 
+# Lowering tests set this so TPU-gated paths trace off-device (jax.export
+# with platforms=["tpu"] runs Mosaic lowering on any host, but _on_tpu()
+# would otherwise steer composites down their CPU fallbacks at trace time).
+_FORCE_DEVICE_KERNELS = False
+
+
+def force_device_kernels(on: bool) -> None:
+    global _FORCE_DEVICE_KERNELS
+    _FORCE_DEVICE_KERNELS = on
+
+
 def _on_tpu() -> bool:
     import jax
 
-    return jax.devices()[0].platform in ("tpu", "axon")
+    return _FORCE_DEVICE_KERNELS or jax.devices()[0].platform in ("tpu", "axon")
 
 
 @partial(jax.jit, static_argnames=("predicate", "impl", "fill"))

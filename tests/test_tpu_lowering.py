@@ -21,6 +21,19 @@ from jax import export
 LANES = 128
 
 
+@pytest.fixture(autouse=True)
+def _force_device_paths():
+    # TPU-gated composites (_on_tpu() branches in take/hashtable/merge_xla)
+    # must trace their DEVICE variants here, not the CPU fallbacks — the
+    # export below lowers whatever gets traced. Unique shapes below avoid
+    # reusing CPU-variant jit caches from other test files.
+    from dpu_olap_tpu.ops.filter import force_device_kernels
+
+    force_device_kernels(True)
+    yield
+    force_device_kernels(False)
+
+
 def lowers(fn, *args, static=()):
     """Assert fn(*args) lowers for the TPU platform; returns module size."""
     specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
@@ -42,8 +55,8 @@ def test_lower_filter_kernels():
         filter_with_indices_pallas,
     )
 
-    lowers(lambda v: filter_compact_pallas(v), u32(64 << 10))
-    lowers(lambda v: filter_with_indices_pallas(v), u32(64 << 10))
+    lowers(lambda v: filter_compact_pallas(v), u32(3 << 15))
+    lowers(lambda v: filter_with_indices_pallas(v), u32(3 << 15))
     lowers(lambda v: filter_pallas_padded(v), u32(50_000))
 
 
@@ -51,16 +64,16 @@ def test_lower_sort_and_merge():
     from dpu_olap_tpu.ops.merge_xla import bitonic_merge
     from dpu_olap_tpu.ops.sort_pallas import sort_bitonic
 
-    lowers(lambda k, p: sort_bitonic((k, p)), u32(64 << 10), u32(64 << 10))
+    lowers(lambda k, p: sort_bitonic((k, p)), u32(3 << 15), u32(3 << 15))
     # non-pow2 padding wrapper
     lowers(lambda k: sort_bitonic((k,)), u32(50_000))
-    lowers(lambda k, p: bitonic_merge((k, p)), u32(64 << 10), u32(64 << 10))
+    lowers(lambda k, p: bitonic_merge((k, p)), u32(1 << 17), u32(1 << 17))
 
 
 def test_lower_scan_kernels():
     from dpu_olap_tpu.ops.scan_pallas import propagate_fill, propagate_last
 
-    n = 64 << 10
+    n = 128 << 10  # must be a block multiple (64Ki)
     lowers(
         lambda a, v: propagate_last(a, (v,)),
         jnp.zeros((n,), jnp.bool_),
@@ -88,7 +101,7 @@ def test_lower_sum_pallas():
 def test_lower_merge_probe():
     from dpu_olap_tpu.ops.merge_pallas import merge_probe_pallas
 
-    n = 64 << 10
+    n = 3 << 15  # 96Ki: unique avals, no CPU-variant jit-cache reuse
     lowers(lambda l, r, p: merge_probe_pallas(l, r, (p,)), u32(n), u32(n), u32(n))
 
 
@@ -98,6 +111,21 @@ def test_lower_take_kernels():
     data, idx = u32(1 << 20), u32(128 << 10)
     lowers(lambda d, s: gather_sorted_pallas(d, s), data, idx)
     lowers(lambda d, s: take_sorted(d, s), data, idx)
+    # non-power-of-two query count: the explicit pow2 pad branch
+    lowers(lambda d, s: take_sorted(d, s), data, u32(100_000))
+
+
+def test_lower_sorted_hashtable():
+    from dpu_olap_tpu.ops.hashtable import ht_build_sorted, ht_probe_sorted
+
+    n = 3 << 15  # 96Ki: unique avals, no CPU-variant jit-cache reuse
+
+    def build_probe(k, v, q):
+        t = ht_build_sorted(k, v)
+        return ht_probe_sorted(t, q)
+
+    lowers(build_probe, u32(n), u32(n), u32(n))
+    lowers(build_probe, u32(n), u32(n), u32(50_000))  # non-pow2 queries
 
 
 # ---- fused join programs (the flagship paths) -------------------------------
@@ -106,7 +134,7 @@ def test_lower_take_kernels():
 def test_lower_join_fused_and_sorted_build():
     from dpu_olap_tpu.ops.join import join_shard_auto
 
-    n = 64 << 10
+    n = 3 << 15  # 96Ki: unique avals, no CPU-variant jit-cache reuse
     fk, y, pk, x = u32(n), u32(n), u32(n), u32(n)
     # generic fused co-sort (keys31 packing on and off)
     lowers(
@@ -128,7 +156,7 @@ def test_lower_join_fused_and_sorted_build():
 def test_lower_join_dense():
     from dpu_olap_tpu.ops.merge_xla import join_shard_dense
 
-    n = 64 << 10
+    n = 3 << 15  # 96Ki: unique avals, no CPU-variant jit-cache reuse
     lowers(
         lambda a, b, c, d: join_shard_dense(a, (b,), c, (d,)),
         u32(n), u32(n), u32(n), u32(n),
