@@ -168,3 +168,70 @@ def test_lower_flagship_entry():
 
     fn, args = g.entry()
     lowers(fn, *args)
+
+
+# ---- multi-chip programs (AbstractMesh: no devices needed) -------------------
+
+
+def test_lower_dist_join_multichip():
+    """The sharded multi-round join lowers for an 8-TPU mesh — real-TPU
+    SPMD lowering evidence beyond the virtual-CPU-mesh dryrun."""
+    from jax.sharding import AbstractMesh, NamedSharding, PartitionSpec as P
+
+    from dpu_olap_tpu.parallel.dist_join import dist_join_spmd
+    from dpu_olap_tpu.parallel.mesh import AXIS
+
+    mesh = AbstractMesh((8,), (AXIS,))
+    n, cell = 8 * (1 << 13), 2048
+
+    def body(lf, ly, rk, rx):
+        return dist_join_spmd(lf, (ly,), rk, (rx,), 8, cell, cell, rounds=2)
+
+    f = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(AXIS),) * 4,
+            out_specs=(P(AXIS),) * 5,
+            check_vma=False,
+        )
+    )
+    s = jax.ShapeDtypeStruct(
+        (n,), jnp.uint32, sharding=NamedSharding(mesh, P(AXIS))
+    )
+    export.export(f, platforms=["tpu"])(s, s, s, s)
+
+
+def test_lower_dist_join_2d_multichip():
+    """The hierarchical (DCN x ICI) multi-round join lowers for a 2x4 TPU
+    mesh."""
+    from jax.sharding import AbstractMesh, NamedSharding, PartitionSpec as P
+
+    from dpu_olap_tpu.parallel.multihost import (
+        DCN_AXIS,
+        ICI_AXIS,
+        dist_join_2d_spmd,
+    )
+
+    mesh = AbstractMesh((2, 4), (DCN_AXIS, ICI_AXIS))
+    n, cell = 8 * (1 << 13), 2048
+
+    def body(lf, ly, rk, rx):
+        return dist_join_2d_spmd(
+            lf, (ly,), rk, (rx,), 2, 4, cell, cell, rounds=2
+        )
+
+    spec = P((DCN_AXIS, ICI_AXIS))
+    f = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec,) * 4,
+            out_specs=(spec,) * 5,
+            check_vma=False,
+        )
+    )
+    s = jax.ShapeDtypeStruct(
+        (n,), jnp.uint32, sharding=NamedSharding(mesh, spec)
+    )
+    export.export(f, platforms=["tpu"])(s, s, s, s)
