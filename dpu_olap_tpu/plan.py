@@ -113,10 +113,99 @@ class HashJoin(Node):
     def execute(self, ds: DeviceSet) -> Table:
         from .operators.join_op import JoinTpu
 
+        # Fused tier (single chip): Source -> (Filter|Project)* on either
+        # side fuses the filters into the join program as validity masks
+        # (join_shard_fused's left_valid/right_valid) — no intermediate
+        # host Table and no separate compaction pass (the streaming
+        # ExecPlan analog, filter_native.cc:36-72; the mesh path falls
+        # back to the materializing operator).
+        if ds.nr_devices == 1 and self.impl == "cosort":
+            lc = _streamable_chain(self.left)
+            rc = _streamable_chain(self.right)
+            if lc is not None and rc is not None:
+                out = self._fused_filter_join(ds, lc, rc)
+                if out is not None:
+                    return out
+
         lt = self.left._run(ds)
         rt = self.right._run(ds)
         op = JoinTpu(ds, lt, rt, fk=self.fk, pk=self.pk, impl=self.impl).Prepare()
         cols = op.Run()
+        return Table([Batch.from_numpy(cols)])
+
+    @staticmethod
+    def _side_plan(table: Table, transforms, key: str):
+        """Resolve a side's (payload column names, [(col, predicate)]) after
+        applying the chain's Projects/Filters; raises like the materializing
+        tier on projected-away columns."""
+        from .ops.filter import default_predicate
+
+        avail = list(table.names)
+        preds = []
+        for t in transforms:
+            if isinstance(t, Filter):
+                if t.column not in avail:
+                    raise KeyError(f"filter column {t.column!r} projected away")
+                preds.append((t.column, t.predicate or default_predicate))
+            else:
+                if key not in t.columns:
+                    raise KeyError(f"join key {key!r} projected away")
+                avail = [c for c in avail if c in set(t.columns)]
+        return [c for c in avail if c != key], preds
+
+    def _fused_filter_join(self, ds: DeviceSet, lc, rc):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        ltab, ltrans = lc
+        rtab, rtrans = rc
+        lcols_names, lpreds = self._side_plan(ltab, ltrans, self.fk)
+        rcols_names, rpreds = self._side_plan(rtab, rtrans, self.pk)
+        lf = ltab.concat()
+        rt = rtab.concat()
+        for c in (lf[self.fk], rt[self.pk], *[lf[n] for n in lcols_names],
+                  *[rt[n] for n in rcols_names]):
+            dt = np.asarray(c).dtype
+            if dt.kind not in "iu" or dt.itemsize != 4:
+                return None  # fused join carries 32-bit integer planes only
+        lim = np.uint32(0x7FFFFFFF)
+        keys31 = bool(
+            np.max(np.asarray(lf[self.fk]), initial=0) < lim
+            and np.max(np.asarray(rt[self.pk]), initial=0) < lim
+        )
+
+        from .ops.join import join_shard_fused
+
+        @jax.jit
+        def prog(lfk, lcols, lpred_cols, rpk, rcols, rpred_cols):
+            lvalid = None
+            for col, (name, pred) in zip(lpred_cols, lpreds):
+                m = pred(col)
+                lvalid = m if lvalid is None else (lvalid & m)
+            rvalid = None
+            for col, (name, pred) in zip(rpred_cols, rpreds):
+                m = pred(col)
+                rvalid = m if rvalid is None else (rvalid & m)
+            return join_shard_fused(
+                lfk, lcols, rpk, rcols,
+                left_valid=lvalid, right_valid=rvalid, keys31=keys31,
+            )
+
+        fk, lout, rout, matched = prog(
+            jax.device_put(lf[self.fk]),
+            tuple(jax.device_put(lf[n]) for n in lcols_names),
+            tuple(jax.device_put(lf[n]) for n, _ in lpreds),
+            jax.device_put(rt[self.pk]),
+            tuple(jax.device_put(rt[n]) for n in rcols_names),
+            tuple(jax.device_put(rt[n]) for n, _ in rpreds),
+        )
+        m = np.asarray(matched)
+        cols = {self.fk: np.asarray(fk)[m]}
+        for n, c in zip(lcols_names, lout):
+            cols[n] = np.asarray(c)[m]
+        for n, c in zip(rcols_names, rout):
+            cols[n] = np.asarray(c)[m]
         return Table([Batch.from_numpy(cols)])
 
 
