@@ -48,7 +48,36 @@ def main():
     sf = int(os.environ.get("SF", "1"))
     per = 1 << 21  # reference batch size: 2Mi rows per side per batch
     rows = sf * per  # SF batches x 2Mi rows per side
-    details = {"devices": [str(d) for d in jax.devices()], "sf": sf, "rows": rows}
+
+    # Backend init is the one step that fails when the axon tunnel is away;
+    # a transient outage must yield one parseable JSON line (skipped), not a
+    # traceback with rc=1 (round-3 BENCH_r03.json lost the round's record
+    # that way). Retry once after a pause, then degrade gracefully.
+    devices = None
+    for attempt in range(2):
+        try:
+            devices = jax.devices()
+            break
+        except RuntimeError as e:  # Unable to initialize backend
+            err = str(e).splitlines()[-1] if str(e) else repr(e)
+            _log(f"backend init failed (attempt {attempt + 1}/2): {err}")
+            if attempt == 0:
+                time.sleep(30)
+    if devices is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "join_rows_per_s",
+                    "value": None,
+                    "unit": "rows/s",
+                    "vs_baseline": None,
+                    "skipped": True,
+                    "reason": f"TPU backend unavailable: {err}",
+                }
+            )
+        )
+        return
+    details = {"devices": [str(d) for d in devices], "sf": sf, "rows": rows}
 
     # ---- flagship: fused co-sort join over SF reference batches -----------
     # The reference joins each 2Mi batch pair independently and streams

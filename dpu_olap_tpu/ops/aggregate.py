@@ -115,6 +115,16 @@ def _sum_pallas_pair(v: jnp.ndarray, r: int = _SUM_R, interpret: bool = False):
     nrows = v.shape[0] // 128
     while nrows % r:
         r //= 2
+    # acc[0]/acc[2] grow by up to 2^16 - 1 per block in int32 lanes: exact
+    # only while nblocks < 2^15. sum_u64_pair slices its input so r never
+    # degrades this far; a direct caller violating it must hear about it
+    # at trace time, not get a silently wrapped "exact" sum.
+    if nrows // r >= (1 << 15):
+        raise ValueError(
+            f"sum kernel nblocks={nrows // r} >= 2^15 breaks int32 lane "
+            f"accumulator exactness (n={v.shape[0]}, r={r}); slice the "
+            "input to a multiple of _SUM_R*128 elements"
+        )
     s = pl.pallas_call(
         _sum_pallas_kernel,
         grid=(nrows // r,),
@@ -153,6 +163,18 @@ def sum_u64_pair(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     main = (v.shape[0] // blk) * blk
     if not _on_tpu() or main == 0:
         return _sum_xla_pair(v)
+    # Exactness guard (advisor round 3): _sum_pallas_pair halves r until it
+    # divides the row count, and at degraded r a >= 2^25-element input can
+    # exceed the 2^15-block int32 lane-accumulator bound. When that would
+    # happen, shrink the kernel's slice to a multiple of _SUM_R*128 elements
+    # (r stays maximal, nblocks = n/2^19 < 2^15 for any real input) and let
+    # the < 512Ki-element remainder fold in through the exact XLA path.
+    nrows = main // 128
+    r = _SUM_R
+    while nrows % r:
+        r //= 2
+    if nrows // r >= (1 << 15):
+        main = (v.shape[0] // (_SUM_R * 128)) * (_SUM_R * 128)
     pair = _sum_pallas_pair(v[:main])
     if main != v.shape[0]:
         pair = _u64_add(pair, _sum_xla_pair(v[main:]))

@@ -28,6 +28,18 @@ from .filter import _on_tpu
 _LANES = 128
 
 
+def _clip_u32(indices: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Clip indices to [0, n) through an UNSIGNED view: any out-of-range
+    index (including an int32-negative bit pattern) maps to data[n-1].
+    Every take path shares this so the sorted-stream kernel and the
+    row-gather overflow fallback agree on out-of-range inputs (advisor
+    round 3: int32 clip sent index >= 2^31 to data[0] on one path and
+    data[n-1] on the other)."""
+    return jnp.minimum(indices.astype(jnp.uint32), jnp.uint32(n - 1)).astype(
+        jnp.int32
+    )
+
+
 _SPLIT_ABOVE = 1 << 21  # 8MB of u32: the measured row-gather rate knee
 
 
@@ -35,7 +47,7 @@ _SPLIT_ABOVE = 1 << 21  # 8MB of u32: the measured row-gather rate knee
 def _take_rows_u32_flat(data: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     n = data.shape[0]
     rows = data.reshape(n // _LANES, _LANES)
-    idx = jnp.clip(indices.astype(jnp.int32), 0, n - 1)  # mode="clip" parity
+    idx = _clip_u32(indices, n)
     r = idx >> 7
     lane = idx & jnp.int32(_LANES - 1)
     g = jnp.take(rows, r, axis=0)  # (k, 128) row gather
@@ -68,7 +80,7 @@ def _take_rows_u32(data: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
         return _take_rows_u32_flat(data, indices)
     h = n // 2
     hr = h // _LANES
-    idx = jnp.clip(indices.astype(jnp.int32), 0, n - 1)
+    idx = _clip_u32(indices, n)
     r = idx >> 7
     lane = idx & jnp.int32(_LANES - 1)
     ga = jnp.take(
@@ -99,16 +111,14 @@ def _row_path_ok(data: jnp.ndarray, indices: jnp.ndarray) -> bool:
 @partial(jax.jit, static_argnames=("fill",))
 def take(data: jnp.ndarray, indices: jnp.ndarray, fill: int | None = None) -> jnp.ndarray:
     """Gather rows of ``data`` at ``indices`` (uint32)."""
+    n = data.shape[0]
     if fill is None:
         if _row_path_ok(data, indices):
             return _take_rows_u32(data, indices)
-        return jnp.take(data, indices.astype(jnp.int32), axis=0, mode="clip")
-    n = data.shape[0]
+        return jnp.take(data, _clip_u32(indices, n), axis=0, mode="clip")
     if _row_path_ok(data, indices):
         out = _take_rows_u32(data, indices)
-        in_range = (indices.astype(jnp.int32) >= 0) & (
-            indices.astype(jnp.int32) < n
-        )
+        in_range = indices.astype(jnp.uint32) < jnp.uint32(n)
         return jnp.where(in_range, out, data.dtype.type(fill))
     return jnp.take(
         data, indices.astype(jnp.int32), axis=0, mode="fill", fill_value=fill

@@ -93,12 +93,14 @@ def shuffle_partitions_2d(
         # leading axes now (src host, src chip, round) -> flatten host-major
         return s2.reshape((p,) + x.shape[1:])
 
-    recv_k = two_stage(ck)
-    recv_p = tuple(two_stage(x) for x in cp)
+    # One stacked two-stage exchange for key + payload planes (same packing
+    # as the flat shuffle: per-plane collectives paid one DCN/ICI latency per
+    # payload column); the tiny counts vector exchanges separately.
+    stacked = two_stage(jnp.stack([ck, *cp], axis=1))  # (P, planes, cell)
     recv_counts = two_stage(counts[:, None])[:, 0]
     return ShuffleResult(
-        keys=recv_k,
-        payloads=recv_p,
+        keys=stacked[:, 0],
+        payloads=tuple(stacked[:, 1 + i] for i in range(len(cp))),
         counts=recv_counts,
         overflow=overflow.reshape(1),
         rounds=rounds,

@@ -169,18 +169,22 @@ def shuffle_partitions(
     )
     # The exchange: rows [t*rounds, (t+1)*rounds) of my cells go to device t;
     # I receive that row-group from every device. This is the sg_xfer gather
-    # of partitioner.cc:350-375 expressed as one ICI collective.
-    recv_k = jax.lax.all_to_all(ck, axis_name, split_axis=0, concat_axis=0, tiled=True)
-    recv_p = tuple(
-        jax.lax.all_to_all(c, axis_name, split_axis=0, concat_axis=0, tiled=True)
-        for c in cp
+    # of partitioner.cc:350-375 expressed as ONE ICI collective: key and
+    # payload planes ride stacked on a middle axis (the reference moves
+    # everything in one sg_xfer too; per-plane collectives paid one latency
+    # + dispatch per payload column — round-3 verdict item 4). The (P,)
+    # counts vector stays a second, tiny collective: padding it to cell
+    # width to ride in-band would cost a full extra plane of ICI bytes.
+    stacked = jnp.stack([ck, *cp], axis=1)  # (P, planes, cell)
+    recv = jax.lax.all_to_all(
+        stacked, axis_name, split_axis=0, concat_axis=0, tiled=True
     )
     recv_counts = jax.lax.all_to_all(
         counts[:, None], axis_name, split_axis=0, concat_axis=0, tiled=True
     )[:, 0]
     return ShuffleResult(
-        keys=recv_k,
-        payloads=recv_p,
+        keys=recv[:, 0],
+        payloads=tuple(recv[:, 1 + i] for i in range(len(cp))),
         counts=recv_counts,
         # rank-1 so it can ride a sharded out_spec (one flag per device)
         overflow=overflow.reshape(1),

@@ -45,8 +45,6 @@ def stream_rounds(
     """
     if max_inflight is None:
         max_inflight = FLAGS.stream_max_inflight
-    results: List[object] = []
-    pending: List[tuple] = []
 
     def timed_stage(r):
         # "stage" accumulates pure host-staging time on the worker thread;
@@ -56,7 +54,21 @@ def stream_rounds(
         with timed(timers, "stage", r):
             return stage(r)
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    def timed_collect(r, h):
+        with timed(timers, "collect", r):
+            return collect(r, h)
+
+    # Copy-out runs on its own single worker (round-3 verdict item 5): a
+    # synchronous collect() per round serialized the host readback with the
+    # next dispatch, so device compute never overlapped copy-out (the
+    # reference overlaps them with per-rank callback chains,
+    # dpuext.hpp:859-875). One worker keeps collects ordered; the inflight
+    # window still bounds dispatched-but-uncollected rounds.
+    futs: List[object] = []
+    inflight: List[object] = []
+    with ThreadPoolExecutor(max_workers=1) as pool, ThreadPoolExecutor(
+        max_workers=1
+    ) as cpool:
         nxt = pool.submit(timed_stage, 0)
         for r in range(n_rounds):
             staged = nxt.result()
@@ -64,16 +76,14 @@ def stream_rounds(
                 nxt = pool.submit(timed_stage, r + 1)
             # drain before dispatching so the bound counts the new round:
             # at most max_inflight dispatched rounds are ever device-resident
-            while len(pending) >= max_inflight:
-                rr, h = pending.pop(0)
-                with timed(timers, "collect", rr):
-                    results.append(collect(rr, h))
+            while len(inflight) >= max_inflight:
+                inflight.pop(0).result()
             with timed(timers, "dispatch", r):
-                pending.append((r, dispatch(r, staged)))
-        for rr, h in pending:
-            with timed(timers, "collect", rr):
-                results.append(collect(rr, h))
-    return results
+                h = dispatch(r, staged)
+            f = cpool.submit(timed_collect, r, h)
+            futs.append(f)
+            inflight.append(f)
+        return [f.result() for f in futs]
 
 
 def round_geometry(

@@ -33,13 +33,17 @@ class Node:
     def execute(self, ds: DeviceSet) -> Table:
         raise NotImplementedError
 
-    # result cache so diamond-shaped plans execute each node once per mesh
+    # result cache so diamond-shaped plans execute each node once per mesh.
+    # Keyed on the DeviceSet OBJECT (WeakKeyDictionary, same pattern as
+    # dist_join's mesh cache): an id()-keyed dict would serve a stale Table
+    # when a GC'd DeviceSet's id is recycled by a new one.
     def _run(self, ds) -> Table:
-        cache = self.__dict__.setdefault("_cached", {})
-        key = id(ds)
-        if key not in cache:
-            cache[key] = self.execute(ds)
-        return cache[key]
+        import weakref
+
+        cache = self.__dict__.setdefault("_cached", weakref.WeakKeyDictionary())
+        if ds not in cache:
+            cache[ds] = self.execute(ds)
+        return cache[ds]
 
 
 @dataclasses.dataclass
@@ -158,8 +162,19 @@ class HashJoin(Node):
         import jax.numpy as jnp
         import numpy as np
 
+        from .operators.join_op import JoinTpu
+
         ltab, ltrans = lc
         rtab, rtrans = rc
+        # The fused tier exists to absorb Filter/Project transforms into the
+        # join program; a bare Source->Source join gains nothing from it and
+        # would LOSE JoinTpu's routing (pk_dense/pk_sorted fast paths) and
+        # working-set budgets (multi-round / host-staged tiers), so only take
+        # it when transforms are present AND both sides fit one round.
+        if not (ltrans or rtrans):
+            return None
+        if max(ltab.num_rows, rtab.num_rows) > JoinTpu.SINGLE_ROUND_ROWS:
+            return None
         lcols_names, lpreds = self._side_plan(ltab, ltrans, self.fk)
         rcols_names, rpreds = self._side_plan(rtab, rtrans, self.pk)
         lf = ltab.concat()

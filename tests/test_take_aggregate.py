@@ -104,7 +104,10 @@ def test_fused_join_rejects_non32bit_payload(rng):
 
 def test_take_row_path_vs_element_gather(rng):
     # row-gather fast path must be bit-identical to the element gather,
-    # including clip behavior at the edges
+    # including clip behavior at the edges. Clip is through an UNSIGNED view
+    # (ops.take._clip_u32): any out-of-range index — including an
+    # int32-negative bit pattern — maps to data[n-1], matching the
+    # sorted-stream take kernel so overflow fallbacks can't change outputs.
     n = 4 * 128
     data = rng.integers(0, 2**32, n, dtype=np.uint32)
     idx = np.concatenate([
@@ -112,7 +115,7 @@ def test_take_row_path_vs_element_gather(rng):
         np.array([0, n - 1, n, n + 5, -1, -7], dtype=np.int64),
     ]).astype(np.int32)
     got = np.asarray(take(jnp.asarray(data), jnp.asarray(idx)))
-    expect = data[np.clip(idx, 0, n - 1)]
+    expect = data[np.minimum(idx.astype(np.uint32), np.uint32(n - 1))]
     np.testing.assert_array_equal(got, expect)
 
 

@@ -25,13 +25,17 @@ LANES = 128
 def _force_device_paths():
     # TPU-gated composites (_on_tpu() branches in take/hashtable/merge_xla)
     # must trace their DEVICE variants here, not the CPU fallbacks — the
-    # export below lowers whatever gets traced. Unique shapes below avoid
-    # reusing CPU-variant jit caches from other test files.
+    # export below lowers whatever gets traced. The flag is a trace-time
+    # module global that is NOT part of any jit cache key, so caches are
+    # cleared on entry and exit: otherwise a shape shared with another test
+    # file would silently execute the wrong variant (advisor round 3).
     from dpu_olap_tpu.ops.filter import force_device_kernels
 
+    jax.clear_caches()
     force_device_kernels(True)
     yield
     force_device_kernels(False)
+    jax.clear_caches()
 
 
 def lowers(fn, *args, static=()):
