@@ -70,3 +70,36 @@ def datafusion_ctx_from_batches(name, batches):
     ctx = datafusion.SessionContext()
     ctx.register_record_batches(name, [batches])
     return ctx
+
+
+def measure_point(fn, *args, **kwargs):
+    """Run one benchmark point in a FRESH child process and return its
+    (result, real_ms, cpu_ms, rss_kib).
+
+    The reference runs every (sf, engine) point in its own
+    multiprocessing.Process and records RSS per process
+    (/root/reference/baseline/filter.py:6, run loop :60-78); in-process
+    sweeps let allocator/cache state leak across points (this repo measured
+    2x cross-process variance on identical code) and make ru_maxrss a
+    whole-sweep high-water mark instead of a per-point figure.
+    ISOLATE=0 disables (fast differential tests)."""
+    if os.environ.get("ISOLATE", "1") == "0":
+        return fn(*args, **kwargs)
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q = ctx.SimpleQueue()
+
+    def child():
+        try:
+            q.put(("ok", fn(*args, **kwargs)))
+        except BaseException as e:  # surface the child's failure, not a hang
+            q.put(("err", repr(e)))
+
+    p = ctx.Process(target=child)
+    p.start()
+    status, payload = q.get()
+    p.join()
+    if status == "err":
+        raise RuntimeError(f"baseline child failed: {payload}")
+    return payload

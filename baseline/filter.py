@@ -24,6 +24,7 @@ from baseline.common import (
     have_datafusion,
     have_polars,
     measure,
+    measure_point,
     sf_sweep,
 )
 from dpu_olap_tpu.generator import Generator
@@ -73,7 +74,7 @@ def main():
     )
     for engine in engines:
         for sf in sf_sweep():
-            n, real, cpu, rss = run(sf, engine)
+            n, real, cpu, rss = measure_point(run, sf, engine)
             rows.append([engine, sf, sf * 128, 1 << 16, n, f"{real:.3f}", f"{cpu:.3f}", rss])
     emit_csv(rows, ["engine", "sf", "batches", "batch_size", "rows", "real_ms", "cpu_ms", "rss_kib"])
 

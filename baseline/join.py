@@ -22,6 +22,7 @@ from baseline.common import (
     have_datafusion,
     have_polars,
     measure,
+    measure_point,
     sf_sweep,
 )
 from dpu_olap_tpu.generator import make_join_tables
@@ -88,7 +89,7 @@ def main():
     rows = []
     for engine in engines:
         for sf in sf_sweep():
-            n, real, cpu, rss = run(sf, partitioned, engine=engine)
+            n, real, cpu, rss = measure_point(run, sf, partitioned, engine=engine)
             rows.append(
                 [engine, sf, sf * 32, 1 << 16, n, f"{real:.3f}", f"{cpu:.3f}", rss]
             )

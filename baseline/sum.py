@@ -16,7 +16,7 @@ jax.config.update("jax_platforms", "cpu")
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from baseline.common import emit_csv, have_polars, measure, sf_sweep
+from baseline.common import emit_csv, have_polars, measure, measure_point, sf_sweep
 from dpu_olap_tpu.generator import Generator
 
 
@@ -48,7 +48,7 @@ def main():
     engines = ["arrow"] + (["polars"] if have_polars() else [])
     for engine in engines:
         for sf in sf_sweep():
-            n, real, cpu, rss = run(sf, engine)
+            n, real, cpu, rss = measure_point(run, sf, engine)
             rows.append([engine, sf, sf * 32, 1 << 16, n, f"{real:.3f}", f"{cpu:.3f}", rss])
     emit_csv(rows, ["engine", "sf", "batches", "batch_size", "result", "real_ms", "cpu_ms", "rss_kib"])
 

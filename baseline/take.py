@@ -16,7 +16,7 @@ jax.config.update("jax_platforms", "cpu")
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from baseline.common import emit_csv, measure, sf_sweep
+from baseline.common import emit_csv, measure, measure_point, sf_sweep
 from dpu_olap_tpu.generator import Generator
 
 
@@ -37,7 +37,7 @@ def run(sf: int, data_size=1 << 22, indices_size=1 << 19):
 def main():
     rows = []
     for sf in sf_sweep():
-        n, real, cpu, rss = run(sf)
+        n, real, cpu, rss = measure_point(run, sf)
         rows.append(["arrow", sf, sf, 1 << 22, n, f"{real:.3f}", f"{cpu:.3f}", rss])
     emit_csv(rows, ["engine", "sf", "batches", "batch_size", "rows", "real_ms", "cpu_ms", "rss_kib"])
 

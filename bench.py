@@ -356,10 +356,36 @@ def main():
     jax.block_until_ready((idx, rx_flat))
 
     _log("timing take...")
+    # production path: sorted-stream take (sort -> streaming gather -> sort,
+    # no random access; measured 362M idx/s vs 171M for the row-gather at
+    # the BM_Take shape, MEASURE_R3 take3). Window probed once for overflow
+    # like TakeTpu's skew retry; row-gather remains the fallback.
+    from dpu_olap_tpu.ops.take_pallas import (
+        default_window_rows,
+        take_sorted,
+        takeable_sorted,
+    )
 
-    def take_step(c):
-        out = take(rx_flat, c)
-        return c ^ (out & jnp.uint32(1)).astype(jnp.int32)
+    use_sorted = _on_tpu() and takeable_sorted(rows, ni)
+    if use_sorted:
+        twr = default_window_rows(rows, ni)
+        while twr <= 4 * default_window_rows(rows, ni):
+            ovf = take_sorted(rx_flat, idx, window_rows=twr)[1]
+            if int(np.asarray(ovf)) == 0:
+                break
+            twr *= 2
+        else:
+            use_sorted = False
+    details["take_sorted_stream"] = use_sorted
+
+    if use_sorted:
+        def take_step(c):
+            out, f = take_sorted(rx_flat, c, window_rows=twr)
+            return c ^ (out & jnp.uint32(1)).astype(jnp.int32) ^ f
+    else:
+        def take_step(c):
+            out = take(rx_flat, c)
+            return c ^ (out & jnp.uint32(1)).astype(jnp.int32)
     tsec = time_chained(take_step, idx, k=4)
     details["take_rows_per_s"] = ni / tsec
     _log("writing results")

@@ -141,11 +141,16 @@ class Table:
         return self.batches[i]
 
     def concat(self) -> Batch:
+        # Host-resident columns concatenate in numpy: jnp.concatenate would
+        # silently downcast 64-bit columns to 32 bits (x64 is disabled) —
+        # the u64 lo/hi-plane join split needs the full-width host column.
+        def cat(cols):
+            if all(isinstance(c, np.ndarray) for c in cols):
+                return np.concatenate(cols)
+            return jnp.concatenate(cols)
+
         return Batch(
-            {
-                n: jnp.concatenate([b[n] for b in self.batches])
-                for n in self.names
-            }
+            {n: cat([b[n] for b in self.batches]) for n in self.names}
         )
 
     def to_arrow(self) -> "pa.Table":

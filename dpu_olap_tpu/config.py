@@ -79,10 +79,16 @@ class Flags:
     # blocks (bounded pipelining; the reference bounds per-rank queues).
     stream_round_rows: int = 64 << 20
     stream_max_inflight: int = 2
+    # Per-phase attribution inside the distributed join (the reference's
+    # ACTIVATE_JOIN_TIMERS compile flag, host/join/join_dpu.cc:27-49):
+    # runs instrumented sub-programs, so it costs extra device work —
+    # off by default, enabled per run like the reference's -D flag.
+    join_timers: bool = False
 
 
 FLAGS = Flags(
     enable_perf=_env_int("ENABLE_PERF", 1) != 0,
     enable_log=_env_int("ENABLE_LOG", 0) != 0,
     enable_trace=_env_int("ENABLE_TRACE", 0) != 0,
+    join_timers=_env_int("ACTIVATE_JOIN_TIMERS", 0) != 0,
 )

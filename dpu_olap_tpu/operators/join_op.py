@@ -43,6 +43,66 @@ def _pad_to(arr: np.ndarray, m: int, fill) -> np.ndarray:
     return out
 
 
+# 64-bit payload columns ride the 32-bit join paths as two planes (the
+# reference bridge moves ANY fixed-width column wholesale,
+# host/dpuext/arrow_utils.cc:41-45; the TPU sort/fill planes are uint32, so
+# a u64/i64 column splits into little-endian lo/hi u32 planes that sort and
+# propagate together, recombined bit-exactly on output). NUL-prefixed
+# suffixes cannot collide with user column names.
+_LO = "\x00u64lo"
+_HI = "\x00u64hi"
+
+
+def _split_u64_table(table: Table, key: str):
+    """Rewrite 8-byte integer payload columns into lo/hi u32 column pairs.
+    Returns (table, {orig_name: dtype}); no-op when nothing is 64-bit."""
+    from ..columnar import Batch
+
+    u64: Dict[str, np.dtype] = {}
+    for b in table:
+        for n in b.names:
+            dt = np.asarray(b[n]).dtype
+            if dt.kind in "iu" and dt.itemsize == 8:
+                if n == key:
+                    raise TypeError(
+                        f"join key {n!r} must be a 32-bit column, got {dt}"
+                    )
+                u64[n] = dt
+        break
+    if not u64:
+        return table, u64
+    out = []
+    for b in table:
+        cols = {}
+        for n in b.names:
+            a = np.asarray(b[n])
+            if n in u64:
+                v = a.view(np.uint32).reshape(-1, 2)
+                cols[n + _LO] = np.ascontiguousarray(v[:, 0])
+                cols[n + _HI] = np.ascontiguousarray(v[:, 1])
+            else:
+                cols[n] = a
+        out.append(Batch.from_numpy(cols))
+    return Table(out), u64
+
+
+def _recombine_u64(cols: Dict[str, np.ndarray], u64) -> Dict[str, np.ndarray]:
+    if not u64:
+        return cols
+    out: Dict[str, np.ndarray] = {}
+    for n, a in cols.items():
+        if n.endswith(_HI):
+            continue
+        if n.endswith(_LO):
+            orig = n[: -len(_LO)]
+            lo = a.astype(np.uint64)
+            hi = cols[orig + _HI].astype(np.uint64)
+            out[orig] = ((hi << np.uint64(32)) | lo).astype(u64[orig])
+        else:
+            out[n] = a
+    return out
+
+
 class JoinTpu:
     """Inner PK/FK join: left (fk, y...) x right (pk, x...) -> left cols + x."""
 
@@ -63,6 +123,11 @@ class JoinTpu:
     def Prepare(self):
         assert len(self.left) == len(self.right)
         assert len(self.left) % self.ds.nr_devices == 0
+        # 64-bit payload columns split into u32 lo/hi planes here and
+        # recombine in Run() — every path (single/ICI/partitioned) then
+        # moves only 32-bit planes (arrow_utils.cc:41-45 parity)
+        self.left, self._l_u64 = _split_u64_table(self.left, self.fk)
+        self.right, self._r_u64 = _split_u64_table(self.right, self.pk)
         self.left_cols = [c for c in self.left.names if c != self.fk]
         self.right_cols = [c for c in self.right.names if c != self.pk]
         self._shard_join_fn = None
@@ -201,11 +266,26 @@ class JoinTpu:
                 raise OverflowError("shuffle cell overflow after retries")
             m = np.asarray(matched)
         device_log("join matched rows", m.reshape(self.ds.nr_devices, -1).sum(1))
-        out = {self.fk: np.asarray(fk)[m]}
-        for name, col in zip(self.left_cols, lcols):
-            out[name] = np.asarray(col)[m]
-        for name, col in zip(self.right_cols, rcols):
-            out[name] = np.asarray(col)[m]
+        with timed(self.timers, "gather-result"):
+            out = {self.fk: np.asarray(fk)[m]}
+            for name, col in zip(self.left_cols, lcols):
+                out[name] = np.asarray(col)[m]
+            for name, col in zip(self.right_cols, rcols):
+                out[name] = np.asarray(col)[m]
+        if FLAGS.join_timers:
+            # per-phase attribution (ACTIVATE_JOIN_TIMERS analog,
+            # join_dpu.cc:27-49): chained prefix probes — extra device work,
+            # so gated exactly like the reference's diagnostics build
+            from ..parallel.dist_join import dist_join_phase_ms
+
+            self.phase_ms = dist_join_phase_ms(
+                self.ds,
+                lf[self.fk], rt[self.pk],
+                len(self.left_cols), len(self.right_cols),
+                cell_left=cell_l, cell_right=cell_r,
+                impl=self.impl, keys31=self.keys31, rounds=rounds,
+            )
+            log(f"join phases: {self.phase_ms}")
         return out
 
     # ---- host-staged multi-round path -------------------------------------
@@ -308,7 +388,7 @@ class JoinTpu:
         per_dev = -(-rows // self.ds.nr_devices)
         return max(1, -(-per_dev // self.SINGLE_ROUND_ROWS))
 
-    def Run(self) -> Dict[str, np.ndarray]:
+    def _run_any(self) -> Dict[str, np.ndarray]:
         d = self.ds.nr_devices
         fits = (
             self.left.num_rows % d == 0
@@ -330,6 +410,10 @@ class JoinTpu:
         if fits:
             return self._run_ici()
         return self._run_partitioned()
+
+    def Run(self) -> Dict[str, np.ndarray]:
+        out = self._run_any()
+        return _recombine_u64(out, {**self._l_u64, **self._r_u64})
 
     def Timers(self):
         return self.timers

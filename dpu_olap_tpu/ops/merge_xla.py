@@ -140,13 +140,12 @@ def join_shard_sorted_build(
 
 
 def dense_window_rows(n_l: int, n_r: int) -> int:
-    """Default gather window: 4x the mean queries-per-slice (Poisson slack
-    for uniform fks); adversarial clustering overflows and retries."""
-    from .take_pallas import DEF_SLICE_ROWS
+    """Default gather window: mean queries-per-slice + 4-sigma Poisson slack
+    (take_pallas.default_window_rows — measured-tight on v5e); adversarial
+    fk clustering overflows and retries with a doubled window."""
+    from .take_pallas import default_window_rows
 
-    blk = DEF_SLICE_ROWS * 128
-    mean = n_l * blk // max(n_r, blk)
-    return max(16, 1 << (max(4 * mean // 128, 1) - 1).bit_length())
+    return default_window_rows(n_r, n_l)
 
 
 def join_dense_eligible(n_l: int, n_r: int) -> bool:

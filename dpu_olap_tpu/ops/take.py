@@ -136,7 +136,7 @@ def take_fast(
     Not jittable (the retry inspects the overflow flag host-side); jitted
     callers use take()/take_sorted directly and handle the flag themselves
     (TakeTpu, run_benchmarks take_kernel)."""
-    from .take_pallas import DEF_WINDOW_ROWS, take_sorted, takeable_sorted
+    from .take_pallas import default_window_rows, take_sorted, takeable_sorted
 
     if not (
         _row_path_ok(data, indices)
@@ -144,7 +144,7 @@ def take_fast(
         and (_on_tpu() or interpret)
     ):
         return take(data, indices)
-    wr = DEF_WINDOW_ROWS
+    wr = default_window_rows(data.shape[0], indices.shape[0])
     max_wr = (indices.shape[0] // _LANES) + 1  # all queries in one slice
     while True:
         out, flag = take_sorted(data, indices, window_rows=wr, interpret=interpret)

@@ -48,7 +48,24 @@ from .sort_pallas import sort_bitonic, sortable_bitonic
 
 LANES = 128
 DEF_SLICE_ROWS = 32  # table slice per grid step: 4Ki values (16KB)
-DEF_WINDOW_ROWS = 16  # sorted-query window: 2Ki queries (4x the uniform mean)
+DEF_WINDOW_ROWS = 16  # fallback query window when shapes are unknown
+
+
+def default_window_rows(
+    n_data: int, n_idx: int, slice_rows: int = DEF_SLICE_ROWS
+) -> int:
+    """Smallest safe sorted-query window for uniform indices: the mean
+    query count per table slice plus 4-sigma Poisson slack, in 128-lane
+    rows (multiple of 8 for sublane alignment). The select-tree work scales
+    with the window, so tight windows win big — measured on v5e
+    (MEASURE_R3.json dense section): the 2Mi dense join runs 791M rows/s at
+    wr=32-40 vs 572M at the old 4x-mean heuristic's 128. Clustered indices
+    overflow and retry with a doubled window (the operators' skew pattern)."""
+    blk = slice_rows * LANES
+    mean_q = n_idx * blk / max(n_data, blk)
+    slots = mean_q + 4.0 * mean_q ** 0.5 + 1.0
+    rows = -(-int(slots) // LANES)
+    return max(8, -(-rows // 8) * 8)
 
 
 def _signed(k):
@@ -264,7 +281,7 @@ def takeable_sorted(n_data: int, n_idx: int) -> bool:
 def take_sorted(
     data: jnp.ndarray,
     indices: jnp.ndarray,
-    window_rows: int = DEF_WINDOW_ROWS,
+    window_rows: int | None = None,
     interpret: bool = False,
 ):
     """out[i] = data[indices[i]] (clip semantics), plus an overflow flag.
@@ -275,6 +292,8 @@ def take_sorted(
     pre-size the window from the index distribution (benchmarks)."""
     n = data.shape[0]
     k = indices.shape[0]
+    if window_rows is None:
+        window_rows = default_window_rows(n, k)
     blk = DEF_SLICE_ROWS * LANES
     npad = (-n) % blk
     if npad:

@@ -174,3 +174,116 @@ def dist_join(
         )
         per_mesh[key] = fn
     return fn(left_fk, left_payloads, right_pk, right_payloads)
+
+
+def dist_join_phase_ms(
+    ds: DeviceSet,
+    left_fk,
+    right_pk,
+    n_left_payloads: int,
+    n_right_payloads: int,
+    cell_left: int,
+    cell_right: int,
+    impl: str = "cosort",
+    keys31: bool = False,
+    rounds: int = 1,
+    k: int = 4,
+):
+    """Per-phase attribution for the distributed join — the reference's
+    ACTIVATE_JOIN_TIMERS build (host/join/join_dpu.cc:27-49) splits
+    partition / exchange / build+probe+take; one fused XLA program has no
+    host-visible phase boundaries, so this times chained pipeline PREFIXES
+    (bench/device_time.time_chained) and attributes the deltas:
+
+      fragments  = local radix partition into cells (both sides)
+      exchange   = + the stacked all_to_all
+      local-join = + the fused per-device join
+
+    Payload planes are derived on-device from the key planes (same shapes
+    and traffic as the real columns) so nothing loop-invariant can be
+    hoisted out of the chained scan. Opt-in (config.FLAGS.join_timers /
+    ACTIVATE_JOIN_TIMERS=1): each prefix runs k and 2k chained repetitions,
+    so the probe costs ~6k extra joins of device time — a diagnostics mode,
+    exactly like the reference flag. Returns ms per phase."""
+    import numpy as np
+
+    from ..bench.device_time import time_chained
+    from .shuffle import local_fragments
+
+    n_dev = ds.nr_devices
+    spec = P(AXIS)
+
+    def planes(key1, n):
+        return tuple(key1 ^ jnp.uint32(i + 1) for i in range(n))
+
+    def sides(lf, rk):
+        lf1 = lf.reshape(-1)
+        # tie the (otherwise loop-invariant) right side to the carry so XLA
+        # cannot hoist its work out of the chained scan
+        rk1 = (rk ^ (lf1[0] & jnp.uint32(1))).reshape(-1)
+        return lf1, rk1
+
+    def frag_body(lf, rk):
+        lf1, rk1 = sides(lf, rk)
+        ck_l, cp_l, cnt_l, _ = local_fragments(
+            lf1, planes(lf1, n_left_payloads), n_dev * rounds, cell_left
+        )
+        ck_r, cp_r, cnt_r, _ = local_fragments(
+            rk1, planes(rk1, n_right_payloads), n_dev * rounds, cell_right
+        )
+        chk = (
+            jnp.sum(ck_l & jnp.uint32(1)) + jnp.sum(ck_r & jnp.uint32(3))
+            + jnp.sum(cnt_l) + jnp.sum(cnt_r)
+            + sum(jnp.sum(x & jnp.uint32(7)) for x in (*cp_l, *cp_r))
+        )
+        return lf ^ chk
+
+    def shuffled(lf, rk):
+        lf1, rk1 = sides(lf, rk)
+        right = shuffle_partitions(
+            rk1, planes(rk1, n_right_payloads), n_dev, cell_right,
+            rounds=rounds,
+        )
+        left = shuffle_partitions(
+            lf1, planes(lf1, n_left_payloads), n_dev, cell_left,
+            rounds=rounds,
+        )
+        return left, right
+
+    def shuf_body(lf, rk):
+        left, right = shuffled(lf, rk)
+        chk = (
+            jnp.sum(left.keys & jnp.uint32(1))
+            + jnp.sum(right.keys & jnp.uint32(3))
+            + jnp.sum(left.counts) + jnp.sum(right.counts)
+            + sum(jnp.sum(x & jnp.uint32(7))
+                  for x in (*left.payloads, *right.payloads))
+        )
+        return lf ^ chk
+
+    def join_body(lf, rk):
+        left, right = shuffled(lf, rk)
+        fk, lcols, rcols, matched, overflow = join_shuffled(
+            left, right, impl=impl, keys31=keys31
+        )
+        chk = (
+            jnp.sum(fk & jnp.uint32(1)) + jnp.sum(matched.astype(jnp.uint32))
+            + sum(jnp.sum(c & jnp.uint32(3)) for c in (*lcols, *rcols))
+            + jnp.sum(overflow.astype(jnp.uint32))
+        )
+        return lf ^ chk
+
+    rk_glob = jnp.asarray(right_pk)
+    lf_glob = jnp.asarray(left_fk)
+    phases = {}
+    prev = 0.0
+    for name, body in (
+        ("fragments", frag_body),
+        ("exchange", shuf_body),
+        ("local-join", join_body),
+    ):
+        f = ds.shard_fn(body, in_specs=(spec, spec), out_specs=spec)
+        sec = time_chained(lambda c, f=f: f(c, rk_glob), lf_glob, k=k)
+        phases[f"{name}-ms"] = sec * 1e3 - prev
+        prev = sec * 1e3
+    return phases

@@ -52,6 +52,25 @@ def record(section, name, ms, note="", nbytes=None):
 def measure_sum():
     from dpu_olap_tpu.ops.aggregate import _sum_pallas_pair, _sum_xla_pair
 
+    # HBM honesty (round 4): at 8Mi the 33MB chain carry fits v5e's VMEM and
+    # XLA keeps it resident — k=512 chains measured ~1150 GB/s, ABOVE the
+    # 819 GB/s HBM roofline. The 64Mi (256MB) points below are the true
+    # HBM-resident rates; the 8Mi points document the VMEM-assisted regime.
+    for nbig, tag in ((64 << 20, "64Mi"), (32 << 20, "32Mi")):
+        xb = jnp.asarray(
+            np.random.default_rng(1).integers(0, 2**32, nbig, dtype=np.uint32)
+        )
+        jax.block_until_ready(xb)
+
+        def stepb(c):
+            lo, hi = _sum_pallas_pair(c, r=4096)
+            return c ^ (lo & jnp.uint32(1))
+
+        sec = time_chained(stepb, xb, k=32)
+        record("sum", f"pallas_r4096_{tag}", sec * 1e3,
+               f"{nbig*4/sec/1e9:.0f} GB/s", nbytes=nbig * 4)
+        del xb
+
     n = 8 << 20
     x = jnp.asarray(
         np.random.default_rng(0).integers(0, 2**32, n, dtype=np.uint32)
@@ -62,7 +81,9 @@ def measure_sum():
         lo, hi = _sum_xla_pair(c)
         return c ^ (lo & jnp.uint32(1))
 
-    sec = time_chained(step_xla, x, k=64)
+    # k=512: at ~0.04ms/op a k=64 chain's K->2K delta sits inside tunnel
+    # noise (round-4 re-run flagged every cell below the roofline floor)
+    sec = time_chained(step_xla, x, k=512)
     record("sum", "xla_8Mi", sec * 1e3, f"{n*4/sec/1e9:.0f} GB/s", nbytes=n * 4)
 
     for r in (256, 512, 1024, 2048, 4096):
@@ -70,7 +91,7 @@ def measure_sum():
             lo, hi = _sum_pallas_pair(c, r=r)
             return c ^ (lo & jnp.uint32(1))
 
-        sec = time_chained(step, x, k=64)
+        sec = time_chained(step, x, k=512)
         record("sum", f"pallas_r{r}_8Mi", sec * 1e3, f"{n*4/sec/1e9:.0f} GB/s", nbytes=n * 4)
 
 
@@ -207,9 +228,12 @@ def measure_take2():
         )
 
         def step(c, x=x, f=f):
-            return f(x, c) ^ jnp.int32(1)
+            # mask back into valid lane-index range so the chain cannot be
+            # constant-folded or clamp-degenerate (round-4: the ^1 chain
+            # produced below-floor DCE-suspect cells)
+            return f(x, c) & jnp.int32(127)
 
-        sec = time_chained(step, li, k=32)
+        sec = time_chained(step, li, k=256)
         nb = rows * 128 * 4
         record("take2", f"lanegather_{rows}r", sec * 1e3,
                f"{3*nb/sec/1e9:.0f} GB/s rwr, {rows*128/sec/1e6:.0f} M idx/s",

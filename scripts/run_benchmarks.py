@@ -67,7 +67,7 @@ def main():
     d = ds.nr_devices
     results = []
 
-    def record(name, sec, items):
+    def record(name, sec, items, extra=None):
         r = {
             "name": name,
             "sf": sf,
@@ -76,6 +76,8 @@ def main():
             "items_per_s": items / sec,
             "bytes_per_s": items * 4 / sec,
         }
+        if extra:
+            r.update(extra)
         results.append(r)
         print(json.dumps(r), flush=True)
 
@@ -431,7 +433,12 @@ def main():
         items = left.num_rows
         if pat.search("join_tpu"):
             op = JoinTpu(ds, left, right).Prepare()
-            record("join_tpu", bench_host(op.Run), items)
+            # phase ms columns when ACTIVATE_JOIN_TIMERS=1 (ICI path only;
+            # the reference's per-phase counters, join_dpu.cc:27-49)
+            record(
+                "join_tpu", bench_host(op.Run), items,
+                extra=getattr(op, "phase_ms", None),
+            )
         if pat.search("join_native"):
             op = JoinNative(left, right).Prepare()
             record("join_native", bench_host(op.Run), items)

@@ -117,3 +117,26 @@ def test_join_tpu_multi_round_operator():
         names=["fk", "y", "x"],
     )
     assert sort_table(got).equals(sort_table(native.select(["fk", "y", "x"])))
+
+
+def test_join_phase_timers_flag():
+    # ACTIVATE_JOIN_TIMERS analog: the ICI path attributes fragments /
+    # exchange / local-join phase ms via chained prefix probes
+    # (dist_join.dist_join_phase_ms) and surfaces them on the operator.
+    from dpu_olap_tpu.config import FLAGS
+    from dpu_olap_tpu.operators.join_op import JoinTpu
+
+    ds = DeviceSet.allocate(8)
+    left, right = make_join_tables(8, 1 << 10, 1 << 10)
+    old = FLAGS.join_timers
+    FLAGS.join_timers = True
+    try:
+        op = JoinTpu(ds, left, right).Prepare()
+        op.Run()
+    finally:
+        FLAGS.join_timers = old
+    assert set(op.phase_ms) == {"fragments-ms", "exchange-ms", "local-join-ms"}
+    # prefixes are cumulative, so every attributed delta is finite; the
+    # total is positive (individual deltas can jitter on the CPU proxy)
+    assert all(np.isfinite(v) for v in op.phase_ms.values())
+    assert sum(op.phase_ms.values()) > 0

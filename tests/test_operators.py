@@ -150,3 +150,45 @@ def test_partition_operator(ds):
             np.testing.assert_array_equal(
                 wang_hash_np(part["a"]) >> np.uint32(shift), p
             )
+
+
+def test_join_tpu_u64_payloads_single_and_dist():
+    # 64-bit payload columns ride the fused 32-bit join as lo/hi planes and
+    # recombine bit-exactly (reference moves any fixed-width column,
+    # arrow_utils.cc:41-45). Differential vs pyarrow on both the
+    # single-chip (d=1) and distributed (d=8) paths.
+    import pyarrow as pa
+
+    from dpu_olap_tpu.columnar import Batch, Table
+    from dpu_olap_tpu.operators.join_op import JoinTpu
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+
+    rng = np.random.default_rng(7)
+    nb, bl, br = 8, 1 << 10, 1 << 9
+
+    def make(nb):
+        left, right = [], []
+        for i in range(nb):
+            pk = np.arange(i * br, (i + 1) * br, dtype=np.uint32)
+            x64 = rng.integers(0, 2**64, br, dtype=np.uint64)
+            fk = rng.integers(i * br, (i + 1) * br, bl, dtype=np.uint32)
+            y64 = rng.integers(0, 2**64, bl, dtype=np.uint64)
+            y32 = rng.integers(0, 2**32, bl, dtype=np.uint32)
+            left.append(Batch.from_numpy({"fk": fk, "y64": y64, "y": y32}))
+            right.append(Batch.from_numpy({"pk": pk, "x64": x64}))
+        return Table(left), Table(right)
+
+    left, right = make(nb)
+    lt = pa.Table.from_batches([b.to_arrow() for b in left])
+    rt = pa.Table.from_batches([b.to_arrow() for b in right])
+    expect = lt.join(rt, keys="fk", right_keys="pk", join_type="inner")
+    exp_sorted = expect.sort_by([(n, "ascending") for n in expect.column_names])
+
+    for d in (1, 8):
+        ds = DeviceSet.allocate(d)
+        out = JoinTpu(ds, left, right).Prepare().Run()
+        assert set(out) == {"fk", "y64", "y", "x64"}
+        assert out["y64"].dtype == np.uint64 and out["x64"].dtype == np.uint64
+        got = pa.table({n: out[n] for n in expect.column_names})
+        got_sorted = got.sort_by([(n, "ascending") for n in got.column_names])
+        assert got_sorted.equals(exp_sorted), f"d={d} mismatch"

@@ -266,3 +266,36 @@ def test_bare_source_join_uses_jointpu_routing(monkeypatch):
     assert calls["fused"] == 0
     HashJoin(Filter(Source(left), "y"), Source(right), fk="fk", pk="pk").execute(ds1)
     assert calls["fused"] == 1
+
+
+def test_fused_filter_join_u64_payload():
+    # a u64 payload column must ride the fused tier (lo/hi planes), not
+    # silently fall back (round-3 verdict item 7)
+    import pyarrow as pa
+
+    from dpu_olap_tpu.columnar import Batch, Table
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+
+    rng = np.random.default_rng(3)
+    n = 1 << 12
+    pk = np.arange(n, dtype=np.uint32)
+    x64 = rng.integers(0, 2**64, n, dtype=np.uint64)
+    fk = rng.integers(0, n, n, dtype=np.uint32)
+    y = rng.integers(0, 2**32, n, dtype=np.uint32)
+    left = Table([Batch.from_numpy({"fk": fk, "y": y})])
+    right = Table([Batch.from_numpy({"pk": pk, "x64": x64})])
+
+    ds1 = DeviceSet.allocate(1)
+    out = HashJoin(Filter(Source(left), "y"), Source(right),
+                   fk="fk", pk="pk").execute(ds1)
+    assert out.num_rows > 0
+    b = out.concat()
+    assert np.asarray(b["x64"]).dtype == np.uint64
+    keep = y < np.uint32(1 << 30)
+    exp = pa.table({"fk": fk[keep], "y": y[keep]}).join(
+        pa.table({"pk": pk, "x64": x64}), keys="fk", right_keys="pk",
+        join_type="inner",
+    )
+    got = pa.table({n_: np.asarray(b[n_]) for n_ in exp.column_names})
+    key = [(c, "ascending") for c in exp.column_names]
+    assert got.sort_by(key).equals(exp.sort_by(key))
