@@ -45,8 +45,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-DEF_R = 256  # rows per block -> 32Ki elements per grid step
-SKEW = 8  # landing-strip rows (8*128 = 1024 >= 128 covers any lane phase)
+# rows per block: v5e e2e sweep r64/128/256/512 -> 18/30/40/45 GB/s at the
+# HBM-honest 64Mi scale (MEASURE_FILTER.json e2e) — fixed per-block costs
+# amortize through r512; r1024's extra level loses slightly.
+DEF_R = 512
+WCHUNK = 32  # rows per output-write DMA chunk (16KB)
+# Landing-strip rows: one WCHUNK so the working buffer is chunk-aligned and
+# chunked data-proportional writes can cover the worst case (all-pass block
+# + phase). Any SKEW*128 > 127 keeps routing distances positive.
+SKEW = WCHUNK
 
 
 def _lane_iota(shape):
@@ -187,10 +194,22 @@ def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
         read.wait()
         w[pl.ds(0, 1)] = jnp.where(lane1 < phase, rb[:], w[pl.ds(0, 1)])
 
-        # append: whole-row DMA; garbage tail is overwritten by the next block
-        write = pltpu.make_async_copy(w, o.at[pl.ds(row0, wrows)], sem)
-        write.start()
-        write.wait()
+    # append only the rows holding data — ceil((phase+cnt)/128), written in
+    # WCHUNK-row chunks (the partition kernel's pattern): writing the whole
+    # working buffer cost a full extra HBM pass at 25% selectivity (the
+    # output tail past the global count is garbage by contract anyway)
+    nrows_w = jax.lax.div(phase + cnt + (LANES - 1), LANES)
+    for j in range(wrows // WCHUNK):
+        @pl.when(j * WCHUNK < nrows_w)
+        def _(j=j):
+            for w, o in zip(works, outs):
+                wr = pltpu.make_async_copy(
+                    w.at[pl.ds(j * WCHUNK, WCHUNK)],
+                    o.at[pl.ds(row0 + j * WCHUNK, WCHUNK)],
+                    sem,
+                )
+                wr.start()
+                wr.wait()
 
     off_ref[0] = offset + cnt
 
@@ -220,6 +239,10 @@ def filter_compact_pallas(
         threshold = FILTER_THRESHOLD
     n = values.shape[0]
     r = block_rows
+    # shorter inputs run at the largest block that divides them (the padded
+    # wrapper rounds arbitrary lengths up to ONE block first)
+    while r > 8 and n % (r * LANES):
+        r //= 2
     assert n % (r * LANES) == 0, f"n={n} must be a multiple of {r * LANES}"
     nrows = n // LANES
     nblocks = nrows // r
@@ -274,6 +297,8 @@ def filter_with_indices_pallas(
         threshold = FILTER_THRESHOLD
     n = values.shape[0]
     r = block_rows
+    while r > 8 and n % (r * LANES):
+        r //= 2
     assert n % (r * LANES) == 0, f"n={n} must be a multiple of {r * LANES}"
     nrows = n // LANES
     nblocks = nrows // r

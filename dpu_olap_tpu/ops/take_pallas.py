@@ -17,7 +17,10 @@ index stream at the cursor, counts the run belonging to its slice (sorted =>
 the run is contiguous at the cursor), selects each query's table row with a
 compile-time unrolled select tree, and extracts its lane with ONE per-lane
 dynamic gather — Mosaic lowers ``jnp.take_along_axis(..., axis=1)`` natively
-at ~1250 GB/s (MEASURE_R3.json take2.lanegather) — then writes the value
+at roughly one VPU pass per call (~6-9 us per 2Mi elements, parity-verified
+against interpret mode; MEASURE_FILTER.json ops.lane_gather — the round-3
+MEASURE_R3 take2.lanegather cells were DCE-poisoned and are flagged
+suspect) — then writes the value
 window back aligned with the query stream (output value j pairs with sorted
 query j, so the final sort needs no extra payload plane). The partial first
 row is merged from a carried last-row register instead of a read-modify-write

@@ -90,11 +90,92 @@ def main():
         sync_read(out)
         return total / ((time.perf_counter() - t0) / reps)
 
+    def run_local_at(d: int):
+        """Control point: same sharded per-device join WITHOUT the shuffle
+        (no collectives at all). On the virtual CPU mesh the D virtual
+        devices share one host's cores, so this curve isolates host-core
+        saturation from exchange cost: if it degrades like the full join,
+        the efficiency loss is a proxy artifact, not the all_to_all."""
+        from jax.sharding import PartitionSpec as P
+        from dpu_olap_tpu.parallel.mesh import AXIS
+
+        ds = DeviceSet(jax.devices()[:d])
+        total = rows_per_dev * d
+        left, right = make_join_tables(1, total, total)
+        lb, rb = left[0], right[0]
+
+        def body(lf, lp, rk, rp):
+            return join_shard_fused(
+                lf.reshape(-1), (lp.reshape(-1),),
+                rk.reshape(-1), (rp.reshape(-1),),
+            )
+
+        spec = P(AXIS)
+        fn = ds.shard_fn(
+            body, in_specs=(spec,) * 4, out_specs=(spec,) * 4
+        )
+        args = (lb["fk"], lb["y"], rb["pk"], rb["x"])
+        sync_read(fn(*args))
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = fn(*args)
+        sync_read(out)
+        return total / ((time.perf_counter() - t0) / reps)
+
+    def collective_count(d: int) -> int:
+        """all-to-all ops in the COMPILED distributed join (the round-3
+        verdict asked for the collective count as evidence: the stacked
+        exchange should leave 2 plane collectives + 2 counts collectives
+        total, regardless of payload width)."""
+        from dpu_olap_tpu.parallel.dist_join import _FN_CACHE
+
+        ds = DeviceSet(jax.devices()[:d])
+        total = rows_per_dev * d
+        left, right = make_join_tables(1, total, total)
+        lb, rb = left[0], right[0]
+        sync_read(dist_join(ds, lb["fk"], (lb["y"],), rb["pk"], (rb["x"],)))
+        per_mesh = _FN_CACHE.get(ds.mesh, {})
+        texts = []
+        for fn in per_mesh.values():
+            inner = getattr(fn, "_compiled_text", None)
+            if inner:
+                texts.append(inner)
+        if not texts:
+            # recompile via lower() on the jitted wrapper is not exposed;
+            # count in the traced HLO instead
+            import jax.numpy as jnp
+
+            from dpu_olap_tpu.parallel.dist_join import dist_join_spmd
+            from dpu_olap_tpu.parallel.mesh import AXIS
+            from jax.sharding import PartitionSpec as P
+
+            def body(lf, lp, rk, rp):
+                return dist_join_spmd(
+                    lf, (lp,), rk, (rp,), d,
+                    cell_left=(total // d) * 4, cell_right=(total // d) * 4,
+                )
+
+            m = ds.mesh
+            f = jax.jit(
+                jax.shard_map(
+                    body, mesh=m,
+                    in_specs=(P(AXIS),) * 4,
+                    out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+                    check_vma=False,
+                )
+            )
+            texts = [
+                f.lower(lb["fk"], lb["y"], rb["pk"], rb["x"]).as_text()
+            ]
+        return sum(t.count("all_to_all") + t.count("all-to-all") for t in texts)
+
     single = run_single()
     result = {
         "devices": n_dev,
         "rows_per_device": rows_per_dev,
         "single_rows_per_s": single,
+        "host_cores": os.cpu_count(),
     }
     if n_dev > 1:
         multi = run_multi()
@@ -124,6 +205,28 @@ def main():
                 row["rows_per_s_per_device"] / base
             )
         result["curve"] = curve
+        # the no-collective control: same join, no exchange
+        lcurve = []
+        d = 1
+        while d <= n_dev:
+            r = run_local_at(d)
+            lcurve.append(
+                {
+                    "devices": d,
+                    "rows_per_s": r,
+                    "rows_per_s_per_device": r / d,
+                }
+            )
+            print(f"# local D={d}: {r/1e6:.2f} Mrows/s", file=sys.stderr,
+                  flush=True)
+            d *= 2
+        lbase = lcurve[0]["rows_per_s_per_device"]
+        for row in lcurve:
+            row["weak_scaling_efficiency"] = (
+                row["rows_per_s_per_device"] / lbase
+            )
+        result["local_curve_no_collectives"] = lcurve
+        result["all_to_all_ops_in_program"] = collective_count(n_dev)
         result["platform"] = jax.devices()[0].platform
     print(json.dumps(result))
 
