@@ -105,7 +105,7 @@ def _shift_down(arr, s, rows):
     return jnp.where(lane + s < LANES, a, b)
 
 
-def run_butterfly(work_planes, work_d, wrows):
+def run_butterfly(work_planes, work_d, wrows, dshift: int = 0):
     """Concentrate packets held in ``work_planes`` (scratch refs) to their
     destinations: work_d holds each slot's remaining routing distance, with
     d == 0 marking holes AND placed packets (both mean "nothing to move" —
@@ -118,20 +118,35 @@ def run_butterfly(work_planes, work_d, wrows):
     the buffer end reads wrapped source position q + s - total < s, and ANY
     packet at a position p < s has d-bit s clear (p = dst + residual and a
     set bit s forces residual >= s, hence p >= s), so take is false there.
-    Shared by the filter and partition kernels."""
+    Shared by the filter and partition kernels.
+
+    dshift > 0 is the PACKED-PLANE form (round 4): work_d carries
+    ``(d << dshift) | cargo`` — the distance field occupies bits
+    [dshift, 31] and a per-packet cargo (e.g. its selection index, < 2^dshift)
+    rides in the low bits, saving one full routed plane. Level bits test
+    and subtract at the shifted position, so the cargo is never perturbed
+    (a set distance bit makes ``cd - (s << dshift)`` borrow-free) and moves
+    with its packet through the `take` select. Hole/placed encoding is the
+    whole word == 0, which requires real packets to keep d > 0 until the
+    final level — guaranteed by the SKEW landing strip exactly as in the
+    unpacked form. Exactness bound: d < 2^(31 - dshift), i.e. block_rows
+    <= 256 at dshift 15 ((256 + SKEW) * 128 < 2^16)."""
     total = wrows * LANES
     s = 1
     while s < total:
+        se = s << dshift
         d = work_d[:]
         cd = _shift_down(d, s, wrows)
         # a set bit always moves its packet out (conflict-free network), so
         # no d >= 0 / hole guard is needed: holes and placed packets are 0.
-        take = (cd & s) != 0
+        take = (cd & se) != 0
         for w in work_planes:
             v = w[:]
             w[:] = jnp.where(take, _shift_down(v, s, wrows), v)
-        if s * 2 < total:  # the final level's distances are never re-read
-            work_d[:] = jnp.where(take, cd - s, jnp.where((d & s) == 0, d, 0))
+        # with cargo packed in (dshift > 0) the final word must still be
+        # written: the caller reads the cargo bits back out of work_d
+        if s * 2 < total or dshift:
+            work_d[:] = jnp.where(take, cd - se, jnp.where((d & se) == 0, d, 0))
         s *= 2
 
 
@@ -175,16 +190,24 @@ def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
     d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), 0)
 
     # lay into working planes (rows 0..SKEW-1 = empty landing strip)
-    planes = [blk]
+    works[0][pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
+    works[0][pl.ds(SKEW, r)] = blk
     if with_indices:
-        planes.append((flat + i * (r * LANES)).astype(jnp.uint32))
-    for w, p in zip(works, planes):
-        w[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
-        w[pl.ds(SKEW, r)] = p
-    work_d[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
-    work_d[pl.ds(SKEW, r)] = d_blk
-
-    run_butterfly(works, work_d, wrows)
+        # packed-plane form (round 4): the selection index rides in the low
+        # 15 bits of the distance word instead of as its own routed plane —
+        # one fewer plane through all 16 levels (d < 2^16 needs r <= 256,
+        # enforced by the wrapper). The cargo is extracted into works[1]
+        # after routing, just in time for the shared RMW + DMA below.
+        work_d[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
+        work_d[pl.ds(SKEW, r)] = (d_blk << 15) | flat
+        run_butterfly(works[:1], work_d, wrows, dshift=15)
+        works[1][...] = (work_d[...] & 0x7FFF).astype(jnp.uint32) + jnp.uint32(
+            i * (r * LANES)
+        )
+    else:
+        work_d[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
+        work_d[pl.ds(SKEW, r)] = d_blk
+        run_butterfly(works, work_d, wrows)
 
     # merge the shared partial row with what the previous block wrote
     lane1 = _lane_iota((1, LANES))
@@ -195,20 +218,33 @@ def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
         w[pl.ds(0, 1)] = jnp.where(lane1 < phase, rb[:], w[pl.ds(0, 1)])
 
     # append only the rows holding data — ceil((phase+cnt)/128), written in
-    # WCHUNK-row chunks (the partition kernel's pattern): writing the whole
-    # working buffer cost a full extra HBM pass at 25% selectivity (the
-    # output tail past the global count is garbage by contract anyway)
+    # QUARTER-buffer chunks with all starts issued before any wait: writing
+    # the whole working buffer cost a full extra HBM pass at 25%
+    # selectivity, and fine 32-row chunks with serialized start/wait paid
+    # 17 DMA round-trips (measured slower than the full write; the output
+    # tail past the global count is garbage by contract anyway)
     nrows_w = jax.lax.div(phase + cnt + (LANES - 1), LANES)
-    for j in range(wrows // WCHUNK):
-        @pl.when(j * WCHUNK < nrows_w)
+    ch = wrows // 4  # wrows = r + SKEW with SKEW=32: divisible for r>=32
+    started = []
+    for j in range(4):
+        @pl.when(j * ch < nrows_w)
         def _(j=j):
             for w, o in zip(works, outs):
                 wr = pltpu.make_async_copy(
-                    w.at[pl.ds(j * WCHUNK, WCHUNK)],
-                    o.at[pl.ds(row0 + j * WCHUNK, WCHUNK)],
+                    w.at[pl.ds(j * ch, ch)],
+                    o.at[pl.ds(row0 + j * ch, ch)],
                     sem,
                 )
                 wr.start()
+    for j in range(4):
+        @pl.when(j * ch < nrows_w)
+        def _(j=j):
+            for w, o in zip(works, outs):
+                wr = pltpu.make_async_copy(
+                    w.at[pl.ds(j * ch, ch)],
+                    o.at[pl.ds(row0 + j * ch, ch)],
+                    sem,
+                )
                 wr.wait()
 
     off_ref[0] = offset + cnt
@@ -296,7 +332,9 @@ def filter_with_indices_pallas(
     if threshold is None:
         threshold = FILTER_THRESHOLD
     n = values.shape[0]
-    r = block_rows
+    # packed-plane routing (sel rides the distance word's low 15 bits)
+    # needs (r + SKEW) * 128 < 2^16 -> r <= 256
+    r = min(block_rows, 256)
     while r > 8 and n % (r * LANES):
         r //= 2
     assert n % (r * LANES) == 0, f"n={n} must be a multiple of {r * LANES}"

@@ -84,8 +84,8 @@ def _partition_kernel(
     # co-partitioning of the two join sides silently breaks.
     bucket = (wang_hash(blk) >> jnp.uint32(shift)).astype(jnp.int32)
     flat = _row_iota((r, LANES)) * LANES + _lane_iota((r, LANES))
-    # global row index of each element = selection indices payload
-    sel = (flat + i * (r * LANES)).astype(jnp.uint32)
+    # the selection-index payload (each element's global row) is generated
+    # by the packed routing below: local flat index rides the distance word
 
     outs = [out_k, out_sel, *out_pay]
 
@@ -102,14 +102,22 @@ def _partition_kernel(
         prefix = _inclusive_scan_rowmajor(mask)
         d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), 0)
 
-        planes = [blk, sel, *pays]
-        for k in range(n_planes):
-            work[k][pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
-            work[k][pl.ds(SKEW, r)] = planes[k]
+        # packed-plane routing (round 4, run_butterfly dshift form): the
+        # selection index rides the distance word's low 15 bits instead of
+        # being its own routed plane — one less plane through every one of
+        # the P per-bucket butterflies. Needs (r + SKEW) * 128 < 2^16.
+        planes = [blk, *pays]
+        routed = [work[0], *work[2:]]
+        for w, pv in zip(routed, planes):
+            w[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.uint32)
+            w[pl.ds(SKEW, r)] = pv
         work_d[pl.ds(0, SKEW)] = jnp.zeros((SKEW, LANES), jnp.int32)
-        work_d[pl.ds(SKEW, r)] = d_blk
+        work_d[pl.ds(SKEW, r)] = (d_blk << 15) | flat
 
-        run_butterfly(work, work_d, wrows)
+        run_butterfly(routed, work_d, wrows, dshift=15)
+        work[1][...] = (work_d[...] & 0x7FFF).astype(jnp.uint32) + jnp.uint32(
+            i * (r * LANES)
+        )
 
         # merge this cell's shared partial row, then chunked append
         for k in range(n_planes):
@@ -170,6 +178,8 @@ def partition_cells_pallas(
     n = keys.shape[0]
     r = block_rows
     assert n % (r * LANES) == 0, f"n={n} not multiple of {r * LANES}"
+    # packed sel-in-distance routing bound: (r + SKEW) * 128 < 2^16
+    assert r <= 256, f"block_rows={r} > 256 breaks the packed-plane bound"
     nrows, nblocks = n // LANES, n // (r * LANES)
     shift = 1 + (32 - int(p_parts).bit_length())
     cell_rows = cell_size // LANES

@@ -368,13 +368,24 @@ def sortable_bitonic(n: int, leaf: int = LEAF) -> bool:
     return n >= 2 * leaf
 
 
+def _default_geometry(n: int) -> tuple:
+    """Shape-aware (leaf, block_rows): at >= 2Mi the XLA batched leaf sort
+    runs 1.9x faster at 2048 columns than 4096 and block 512 wins the
+    cascade (round-4 sweep, MEASURE_FILTER.json sort/sort2: full 2Mi 2-op
+    2.08ms at leaf2048/br512 vs 2.21 at leaf4096/br1024); at 512Ki the
+    leaf-4096 tree is measured faster (MEASURE_R3 take2 sort table)."""
+    if n >= (2 << 20):
+        return 2048, 512
+    return LEAF, BLOCK_ROWS
+
+
 @functools.partial(
     jax.jit, static_argnames=("leaf", "block_rows", "interpret")
 )
 def sort_bitonic(
     planes: tuple,
-    leaf: int = LEAF,
-    block_rows: int = BLOCK_ROWS,
+    leaf: int | None = None,
+    block_rows: int | None = None,
     interpret: bool = False,
 ):
     """Full sort of planes[0] (uint32) with payload planes following, as a
@@ -395,6 +406,11 @@ def sort_bitonic(
     decode to EMPTY and are masked out of ``matched``). Worst-case padding
     doubles the work, still at or under the flat XLA sort it replaces."""
     n_out = planes[0].shape[0]
+    dleaf, dbr = _default_geometry(n_out)
+    if leaf is None:
+        leaf = dleaf
+    if block_rows is None:
+        block_rows = dbr
     assert sortable_bitonic(n_out, leaf), f"n={n_out} too short, < {2 * leaf}"
     assert 2 * leaf >= LANES, f"leaf={leaf} too small (cascade needs >= 64)"
     n = 1 << (n_out - 1).bit_length()

@@ -378,10 +378,6 @@ def measure_dense():
                f"{per/sec/1e6:.0f} M rows/s", nbytes=per * 16)
 
 
-if __name__ == "__main__":
-    sections = sys.argv[1:] or ["sum"]
-    for s in sections:
-        globals()[f"measure_{s}"]()
 
 
 def measure_take4():
@@ -421,3 +417,9 @@ def measure_take4():
                 "4Ki slice",
     }
     OUT.write_text(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    sections = sys.argv[1:] or ["sum"]
+    for s in sections:
+        globals()[f"measure_{s}"]()
