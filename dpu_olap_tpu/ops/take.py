@@ -136,7 +136,12 @@ def take_fast(
     Not jittable (the retry inspects the overflow flag host-side); jitted
     callers use take()/take_sorted directly and handle the flag themselves
     (TakeTpu, run_benchmarks take_kernel)."""
-    from .take_pallas import default_window_rows, take_sorted, takeable_sorted
+    from .take_pallas import (
+        MAX_WINDOW_ROWS,
+        default_window_rows,
+        take_sorted,
+        takeable_sorted,
+    )
 
     if not (
         _row_path_ok(data, indices)
@@ -145,7 +150,10 @@ def take_fast(
     ):
         return take(data, indices)
     wr = default_window_rows(data.shape[0], indices.shape[0])
-    max_wr = (indices.shape[0] // _LANES) + 1  # all queries in one slice
+    # doubling capped by the kernel's scoped-VMEM window ceiling: beyond it
+    # the compile itself fails (round-4 take4 campaign), so adversarial
+    # clustering lands on the row-gather path instead
+    max_wr = min((indices.shape[0] // _LANES) + 1, MAX_WINDOW_ROWS)
     while True:
         out, flag = take_sorted(data, indices, window_rows=wr, interpret=interpret)
         if not int(flag):

@@ -52,6 +52,13 @@ from .sort_pallas import sort_bitonic, sortable_bitonic
 LANES = 128
 DEF_SLICE_ROWS = 32  # table slice per grid step: 4Ki values (16KB)
 DEF_WINDOW_ROWS = 16  # fallback query window when shapes are unknown
+# Window ceiling: the double-buffered query+value windows live in scoped
+# VMEM and Mosaic's per-kernel budget is 16MB — wr=1024 at the BM_Take
+# shape failed to compile ("Scoped allocation ... exceeded scoped vmem
+# limit", round-4 take4 campaign). Windows past this cap cannot help
+# anyway (the run they'd cover exceeds any uniform distribution's tail);
+# callers fall back to the row-gather path instead.
+MAX_WINDOW_ROWS = 256
 
 
 def default_window_rows(
@@ -68,7 +75,7 @@ def default_window_rows(
     mean_q = n_idx * blk / max(n_data, blk)
     slots = mean_q + 4.0 * mean_q ** 0.5 + 1.0
     rows = -(-int(slots) // LANES)
-    return max(8, -(-rows // 8) * 8)
+    return min(MAX_WINDOW_ROWS, max(8, -(-rows // 8) * 8))
 
 
 def _signed(k):

@@ -102,3 +102,35 @@ def test_phase_crossings(rng):
     keep = rng.choice(n, size=3 * 128 + 37, replace=False)  # odd phase drift
     v[keep] = rng.integers(0, 1 << 30, len(keep), dtype=np.uint32)
     check(v)
+
+
+@pytest.mark.parametrize(
+    "name", ["all", "none", "alternate", "single", "sparse", "block_edges"]
+)
+def test_with_indices_adversarial(rng, name):
+    # the packed-cargo routing (selection index in the distance word's low
+    # 15 bits, run_butterfly dshift form) through the same torture patterns
+    # as the value-only kernel
+    from dpu_olap_tpu.ops.filter_pallas import filter_with_indices_pallas
+
+    n = 2 * BLK
+    i = np.arange(n)
+    if name == "all":
+        v = np.full(n, PASS)
+    elif name == "none":
+        v = np.full(n, FAIL)
+    elif name == "alternate":
+        v = np.where(i % 2 == 0, PASS, FAIL)
+    elif name == "single":
+        v = np.where(i == n - 5, PASS, FAIL)
+    elif name == "sparse":
+        v = np.where(rng.random(n) < 0.01, PASS, FAIL)
+    elif name == "block_edges":
+        v = np.full(n, FAIL)
+        v[[0, BLK - 1, BLK, BLK + 1, 2 * BLK - 1]] = PASS
+    v = np.ascontiguousarray((v + (i % 128)).astype(np.uint32))
+    vals, idxs, cnt = filter_with_indices_pallas(jnp.asarray(v), interpret=True)
+    c = int(cnt)
+    mask = v < (1 << 30)
+    np.testing.assert_array_equal(np.asarray(idxs)[:c], np.flatnonzero(mask))
+    np.testing.assert_array_equal(np.asarray(vals)[:c], v[mask])
