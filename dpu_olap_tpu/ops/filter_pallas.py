@@ -64,6 +64,55 @@ def _row_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
 
+def _scan_matrices(r, l=LANES):
+    """The two constant operands of the MXU prefix scan: U = (l,l)
+    upper-triangular ones (in-row inclusive prefix) and Lstrict = (r,r)
+    strictly-lower-triangular ones (row-exclusive carry). Building these
+    iota-compares costs real vector work — per-grid-step reconstruction was
+    ~2x the matmuls themselves, so the kernel hoists them into VMEM scratch
+    filled once at block 0 (_scan_init/_scan_hoisted)."""
+    u = (
+        jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    ).astype(jnp.bfloat16)
+    lt = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    ).astype(jnp.bfloat16)
+    return u, lt
+
+
+def _scan_init(u_ref, lt_ref):
+    u, lt = _scan_matrices(lt_ref.shape[0], u_ref.shape[0])
+    u_ref[...] = u
+    lt_ref[...] = lt
+
+
+def _scan_hoisted(m, u_ref, lt_ref):
+    """_inclusive_scan_rowmajor with the triangular operands read from
+    scratch, and the row-carry computed as Lstrict @ (mask @ J) — three
+    full-width MXU matmuls instead of the (R,R)@(R,1) column matmul, whose
+    N=1 lowering was the scan's hot spot (Mosaic handles lane-1 tensors a
+    full vreg-column at a time). Exactness: mask @ J entries <= 128 are
+    bf16-exact; both accumulations are f32 and < 2^24."""
+    l = m.shape[1]
+    mb = m.astype(jnp.bfloat16)
+    inrow = jax.lax.dot_general(
+        mb, u_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ones = jnp.ones((l, l), jnp.bfloat16)
+    rowtot = jax.lax.dot_general(
+        mb, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # (R,128) row totals broadcast, <=128 exact
+    excl = jax.lax.dot_general(
+        lt_ref[...], rowtot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (inrow + excl).astype(jnp.int32)
+
+
 def _inclusive_scan_rowmajor(m):
     """Inclusive prefix sum of a 0/1 int32 (R,128) mask in row-major
     flattened order, on the MXU: the in-row prefix is mask @ U (U = 128x128
@@ -152,16 +201,17 @@ def run_butterfly(work_planes, work_d, wrows, dshift: int = 0):
 
 def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
     # refs: outputs (out, [sel_out], count), scratch (work_v, [work_s],
-    # work_d, rowbuf, [rowbuf_s], off_ref, sem)
+    # work_d, rowbuf, [rowbuf_s], off_ref, sem, u_mat, lt_mat)
     n_out = 2 if with_indices else 1
     outs = list(refs[:n_out])
     count_ref = refs[n_out]
     sc = list(refs[n_out + 1 :])
     works = sc[:n_out]
     work_d = sc[n_out]
-    rowbufs = sc[n_out + 1 : 2 * n_out + 1]
+    carries = sc[n_out + 1 : 2 * n_out + 1]
     off_ref = sc[2 * n_out + 1]
     sem = sc[2 * n_out + 2]
+    u_ref, lt_ref = sc[2 * n_out + 3 : 2 * n_out + 5]
 
     i = pl.program_id(0)
     r = x_ref.shape[0]
@@ -170,6 +220,9 @@ def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
     @pl.when(i == 0)
     def _():
         off_ref[0] = 0
+        _scan_init(u_ref, lt_ref)
+        for c in carries:
+            c[...] = jnp.zeros((1, LANES), jnp.uint32)
 
     offset = off_ref[0]
     phase = jax.lax.rem(offset, LANES)
@@ -177,15 +230,15 @@ def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
 
     blk = x_ref[:]  # (R, 128) uint32
     mask = (blk < jnp.uint32(threshold)).astype(jnp.int32)
-    cnt = jnp.sum(mask)
+
+    # destination q = prefix-1 + phase over the (R+SKEW,128) working buffer;
+    # packets start at row SKEW (skew SKEW*128 > 127), so d > 0 always.
+    prefix = _scan_hoisted(mask, u_ref, lt_ref)
+    cnt = prefix[r - 1, LANES - 1]  # inclusive total — no separate sum pass
     if trace:
         # device-side trace stream (reference trace(), shared/umq/log.h:13-17
         # with ENABLE_TRACE=1): per-block progress through the compaction
         pl.debug_print("filter block {} offset {} kept {}", i, offset, cnt)
-
-    # destination q = prefix-1 + phase over the (R+SKEW,128) working buffer;
-    # packets start at row SKEW (skew SKEW*128 > 127), so d > 0 always.
-    prefix = _inclusive_scan_rowmajor(mask)
     flat = _row_iota((r, LANES)) * LANES + _lane_iota((r, LANES))
     d_blk = jnp.where(mask == 1, flat + SKEW * LANES - (prefix - 1 + phase), 0)
 
@@ -209,13 +262,14 @@ def _filter_kernel(threshold, with_indices, trace, x_ref, *refs):
         work_d[pl.ds(SKEW, r)] = d_blk
         run_butterfly(works, work_d, wrows)
 
-    # merge the shared partial row with what the previous block wrote
+    # merge the shared partial row from the VMEM carry (v1 used a per-block
+    # HBM read-modify-write here — a DMA round-trip per block; the carry
+    # scratch holds the same row for free since the grid is sequential),
+    # then refresh the carry with this block's trailing partial row
     lane1 = _lane_iota((1, LANES))
-    for w, o, rb in zip(works, outs, rowbufs):
-        read = pltpu.make_async_copy(o.at[pl.ds(row0, 1)], rb, sem)
-        read.start()
-        read.wait()
-        w[pl.ds(0, 1)] = jnp.where(lane1 < phase, rb[:], w[pl.ds(0, 1)])
+    for w, c in zip(works, carries):
+        w[pl.ds(0, 1)] = jnp.where(lane1 < phase, c[...], w[pl.ds(0, 1)])
+        c[...] = w[pl.ds(jax.lax.div(phase + cnt, LANES), 1)]
 
     # append only the rows holding data — ceil((phase+cnt)/128), written in
     # QUARTER-buffer chunks with all starts issued before any wait: writing
@@ -304,6 +358,8 @@ def filter_compact_pallas(
             pltpu.VMEM((1, LANES), jnp.uint32),  # shared-row read buffer
             pltpu.SMEM((1,), jnp.int32),  # running global offset
             pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((LANES, LANES), jnp.bfloat16),  # hoisted U
+            pltpu.VMEM((r, r), jnp.bfloat16),  # hoisted Lstrict
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: offset carry + RMW
@@ -366,6 +422,8 @@ def filter_with_indices_pallas(
             pltpu.VMEM((1, LANES), jnp.uint32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((LANES, LANES), jnp.bfloat16),  # hoisted U
+            pltpu.VMEM((r, r), jnp.bfloat16),  # hoisted Lstrict
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
