@@ -354,8 +354,8 @@ def filter_compact_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((r + SKEW, LANES), jnp.uint32),  # packet values
-            pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # routing distances (<0 = hole)
-            pltpu.VMEM((1, LANES), jnp.uint32),  # shared-row read buffer
+            pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # distances (0 = hole/placed)
+            pltpu.VMEM((1, LANES), jnp.uint32),  # cross-block partial-row carry
             pltpu.SMEM((1,), jnp.int32),  # running global offset
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((LANES, LANES), jnp.bfloat16),  # hoisted U
@@ -417,9 +417,9 @@ def filter_with_indices_pallas(
         scratch_shapes=[
             pltpu.VMEM((r + SKEW, LANES), jnp.uint32),  # values plane
             pltpu.VMEM((r + SKEW, LANES), jnp.uint32),  # index plane
-            pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # distances (<0 = hole)
-            pltpu.VMEM((1, LANES), jnp.uint32),
-            pltpu.VMEM((1, LANES), jnp.uint32),
+            pltpu.VMEM((r + SKEW, LANES), jnp.int32),  # distances (0 = hole/placed)
+            pltpu.VMEM((1, LANES), jnp.uint32),  # partial-row carry (values)
+            pltpu.VMEM((1, LANES), jnp.uint32),  # partial-row carry (indices)
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((LANES, LANES), jnp.bfloat16),  # hoisted U

@@ -19,7 +19,7 @@ section, CLAUDE.md kernel notes):
 
   * ``take_along_axis(axis=1)`` — an arbitrary per-row 128-lane permutation
     in ONE pass (indices must be shaped like the source, lane dim 128).
-  * (128,128) 32-bit transposes — lower cleanly (scripts/_proto_lower.py).
+  * (128,128) 32-bit transposes — lower cleanly (measurements/_proto_lower.py).
 
 The compaction out[t] = in[sel(t)] is decomposed into two gathers with a
 transpose between (out = P2 . T . P1):
@@ -218,7 +218,10 @@ def _filter2_kernel(threshold, with_indices, x_ref, *refs):
 
 def _call(values, threshold, with_indices, block_rows, interpret):
     n = values.shape[0]
-    r = block_rows
+    # bf16 exactness bound: the P2 rank matmul feeds per-block row counts
+    # (up to r) through bf16, where integers > 256 are not representable —
+    # clamp like v1's with-indices wrapper does.
+    r = min(block_rows, 256)
     while r > LANES and n % (r * LANES):
         r //= 2
     assert r % LANES == 0 and n % (r * LANES) == 0, (

@@ -42,9 +42,18 @@ def main():
     ap.add_argument("--filter", default=".*")
     ap.add_argument("--sf", type=int, default=1)
     ap.add_argument("--batch-shift", type=int, default=16, help="log2 batch size for filter")
+    ap.add_argument(
+        "--tag",
+        default=None,
+        help="round tag stamped into every row; partial (--filter) runs "
+        "write bench_results_<tag>.json instead of clobbering the full-suite "
+        "bench_results.json",
+    )
     args = ap.parse_args()
     pat = re.compile(args.filter)
     sf = args.sf
+    tag = args.tag or time.strftime("%Y%m%d")
+    partial = args.filter != ".*"
 
     from dpu_olap_tpu.generator import (
         make_filter_batches,
@@ -70,6 +79,7 @@ def main():
     def record(name, sec, items, extra=None):
         r = {
             "name": name,
+            "tag": tag,
             "sf": sf,
             "devices": d,
             "real_ms": sec * 1e3,
@@ -447,7 +457,8 @@ def main():
             op = JoinNative(left, right, partitioned=True).Prepare()
             record("join_native_partitioned", bench_host(op.Run), items)
 
-    out = Path(__file__).resolve().parents[1] / "bench_results.json"
+    name = "bench_results.json" if not partial else f"bench_results_{tag}.json"
+    out = Path(__file__).resolve().parents[1] / name
     out.write_text("\n".join(json.dumps(r) for r in results) + "\n")
 
 

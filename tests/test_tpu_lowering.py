@@ -64,6 +64,18 @@ def test_lower_filter_kernels():
     lowers(lambda v: filter_pallas_padded(v), u32(50_000))
 
 
+def test_lower_filter_v2_kernels():
+    # the documented-negative v2 kernel stays lowering-pinned so its
+    # measurements remain reproducible on future toolchains
+    from dpu_olap_tpu.ops.filter_pallas2 import (
+        filter_compact_pallas2,
+        filter_with_indices_pallas2,
+    )
+
+    lowers(lambda v: filter_compact_pallas2(v), u32(3 << 15))
+    lowers(lambda v: filter_with_indices_pallas2(v), u32(3 << 15))
+
+
 def test_lower_sort_and_merge():
     from dpu_olap_tpu.ops.merge_xla import bitonic_merge
     from dpu_olap_tpu.ops.sort_pallas import sort_bitonic
