@@ -43,51 +43,58 @@ def _pad_to(arr: np.ndarray, m: int, fill) -> np.ndarray:
     return out
 
 
-# 64-bit payload columns ride the 32-bit join paths as two planes (the
-# reference bridge moves ANY fixed-width column wholesale,
-# host/dpuext/arrow_utils.cc:41-45; the TPU sort/fill planes are uint32, so
-# a u64/i64 column splits into little-endian lo/hi u32 planes that sort and
-# propagate together, recombined bit-exactly on output). NUL-prefixed
-# suffixes cannot collide with user column names.
+# Wide / float payload columns ride the 32-bit join paths as u32 bit-pattern
+# planes (the reference bridge moves ANY fixed-width column wholesale,
+# host/dpuext/arrow_utils.cc:41-45; the TPU sort/fill planes are uint32).
+# Payloads are only ever MOVED, never compared, so carrying raw bit patterns
+# is exact: an 8-byte column (u64/i64/f64) splits into little-endian lo/hi
+# u32 planes that sort and propagate together; an f32 column rides as one
+# reinterpreted u32 plane. All recombine by bit-reinterpretation (`view`) on
+# output. NUL-prefixed suffixes cannot collide with user column names.
 _LO = "\x00u64lo"
 _HI = "\x00u64hi"
+_F32 = "\x00f32"
 
 
 def _split_u64_table(table: Table, key: str):
-    """Rewrite 8-byte integer payload columns into lo/hi u32 column pairs.
-    Returns (table, {orig_name: dtype}); no-op when nothing is 64-bit."""
+    """Rewrite wide/float payload columns into u32 bit-pattern planes.
+    Returns (table, {orig_name: dtype}); no-op when nothing needs planes."""
     from ..columnar import Batch
 
-    u64: Dict[str, np.dtype] = {}
+    wide: Dict[str, np.dtype] = {}
     for b in table:
         for n in b.names:
             dt = np.asarray(b[n]).dtype
-            if dt.kind in "iu" and dt.itemsize == 8:
+            if (dt.kind in "iuf" and dt.itemsize == 8) or (
+                dt.kind == "f" and dt.itemsize == 4
+            ):
                 if n == key:
                     raise TypeError(
-                        f"join key {n!r} must be a 32-bit column, got {dt}"
+                        f"join key {n!r} must be a 32-bit integer column, got {dt}"
                     )
-                u64[n] = dt
+                wide[n] = dt
         break
-    if not u64:
-        return table, u64
+    if not wide:
+        return table, wide
     out = []
     for b in table:
         cols = {}
         for n in b.names:
             a = np.asarray(b[n])
-            if n in u64:
-                v = a.view(np.uint32).reshape(-1, 2)
+            if n in wide and a.dtype.itemsize == 8:
+                v = np.ascontiguousarray(a).view(np.uint32).reshape(-1, 2)
                 cols[n + _LO] = np.ascontiguousarray(v[:, 0])
                 cols[n + _HI] = np.ascontiguousarray(v[:, 1])
+            elif n in wide:  # float32
+                cols[n + _F32] = np.ascontiguousarray(a).view(np.uint32)
             else:
                 cols[n] = a
         out.append(Batch.from_numpy(cols))
-    return Table(out), u64
+    return Table(out), wide
 
 
-def _recombine_u64(cols: Dict[str, np.ndarray], u64) -> Dict[str, np.ndarray]:
-    if not u64:
+def _recombine_u64(cols: Dict[str, np.ndarray], wide) -> Dict[str, np.ndarray]:
+    if not wide:
         return cols
     out: Dict[str, np.ndarray] = {}
     for n, a in cols.items():
@@ -97,7 +104,11 @@ def _recombine_u64(cols: Dict[str, np.ndarray], u64) -> Dict[str, np.ndarray]:
             orig = n[: -len(_LO)]
             lo = a.astype(np.uint64)
             hi = cols[orig + _HI].astype(np.uint64)
-            out[orig] = ((hi << np.uint64(32)) | lo).astype(u64[orig])
+            # view, not astype: bit-exact for i64 high-bit values and f64
+            out[orig] = ((hi << np.uint64(32)) | lo).view(wide[orig])
+        elif n.endswith(_F32):
+            orig = n[: -len(_F32)]
+            out[orig] = np.ascontiguousarray(a).view(wide[orig])
         else:
             out[n] = a
     return out
@@ -123,8 +134,8 @@ class JoinTpu:
     def Prepare(self):
         assert len(self.left) == len(self.right)
         assert len(self.left) % self.ds.nr_devices == 0
-        # 64-bit payload columns split into u32 lo/hi planes here and
-        # recombine in Run() — every path (single/ICI/partitioned) then
+        # wide/float payload columns split into u32 bit-pattern planes here
+        # and recombine in Run() — every path (single/ICI/partitioned) then
         # moves only 32-bit planes (arrow_utils.cc:41-45 parity)
         self.left, self._l_u64 = _split_u64_table(self.left, self.fk)
         self.right, self._r_u64 = _split_u64_table(self.right, self.pk)

@@ -180,22 +180,25 @@ class HashJoin(Node):
         lf = ltab.concat()
         rt = rtab.concat()
         # keys and predicate columns must be 32-bit integers (predicates
-        # evaluate on the raw plane); 64-bit integer PAYLOAD columns ride as
-        # lo/hi u32 plane pairs recombined below (arrow_utils.cc:41-45
+        # evaluate on the raw plane); wide/float PAYLOAD columns ride as u32
+        # bit-pattern planes recombined below — 8-byte (u64/i64/f64) as
+        # lo/hi pairs, f32 as one reinterpreted plane (arrow_utils.cc:41-45
         # fixed-width parity — no silent fallback, round-3 verdict item 7)
         for c in (lf[self.fk], rt[self.pk],
                   *[lf[n] for n, _ in lpreds], *[rt[n] for n, _ in rpreds]):
             dt = np.asarray(c).dtype
             if dt.kind not in "iu" or dt.itemsize != 4:
                 return None
-        u64: dict = {}
+        wide: dict = {}
         for tab, names in ((lf, lcols_names), (rt, rcols_names)):
             for n in names:
                 dt = np.asarray(tab[n]).dtype
-                if dt.kind in "iu" and dt.itemsize == 8:
-                    u64[n] = dt
+                if dt.itemsize == 8 and dt.kind in "iuf":
+                    wide[n] = dt
+                elif dt.kind == "f" and dt.itemsize == 4:
+                    wide[n] = dt
                 elif dt.kind not in "iu" or dt.itemsize != 4:
-                    return None  # floats etc.: materializing tier handles
+                    return None  # non-fixed-width: materializing tier raises
         lim = np.uint32(0x7FFFFFFF)
         keys31 = bool(
             np.max(np.asarray(lf[self.fk]), initial=0) < lim
@@ -223,11 +226,14 @@ class HashJoin(Node):
             arrs, tags = [], []
             for n in names:
                 a = np.asarray(tab[n])
-                if n in u64:
-                    v = a.view(np.uint32).reshape(-1, 2)
+                if n in wide and a.dtype.itemsize == 8:
+                    v = np.ascontiguousarray(a).view(np.uint32).reshape(-1, 2)
                     arrs += [np.ascontiguousarray(v[:, 0]),
                              np.ascontiguousarray(v[:, 1])]
                     tags += [(n, "lo"), (n, "hi")]
+                elif n in wide:  # float32: one reinterpreted u32 plane
+                    arrs.append(np.ascontiguousarray(a).view(np.uint32))
+                    tags.append((n, "f32"))
                 else:
                     arrs.append(a)
                     tags.append((n, None))
@@ -249,12 +255,15 @@ class HashJoin(Node):
         for (n, part), c in zip(ltags + rtags, (*lout, *rout)):
             if part is None:
                 cols[n] = np.asarray(c)[m]
+            elif part == "f32":
+                cols[n] = np.ascontiguousarray(np.asarray(c)[m]).view(wide[n])
             else:
                 halves.setdefault(n, {})[part] = np.asarray(c)[m]
         for n, h in halves.items():
             lo = h["lo"].astype(np.uint64)
             hi = h["hi"].astype(np.uint64)
-            cols[n] = ((hi << np.uint64(32)) | lo).astype(u64[n])
+            # view, not astype: bit-exact for i64 high-bit values and f64
+            cols[n] = ((hi << np.uint64(32)) | lo).view(wide[n])
         order = [self.fk, *lcols_names, *rcols_names]
         return Table([Batch.from_numpy({n: cols[n] for n in order})])
 

@@ -192,3 +192,79 @@ def test_join_tpu_u64_payloads_single_and_dist():
         got = pa.table({n: out[n] for n in expect.column_names})
         got_sorted = got.sort_by([(n, "ascending") for n in got.column_names])
         assert got_sorted.equals(exp_sorted), f"d={d} mismatch"
+
+
+def test_join_tpu_float_payloads_all_paths():
+    # Float payload columns ride the fused 32-bit join as bit-pattern u32
+    # planes (f64 -> lo/hi pair, f32 -> one plane) and recombine bit-exactly
+    # — payloads are moved, never compared, so arbitrary bit patterns
+    # (including NaNs/infs) must survive (reference moves any fixed-width
+    # column, arrow_utils.cc:41-45). Verified on the single-chip (d=1),
+    # ICI (d=8), and host-staged (shrunken residency budget) paths by
+    # comparing the BIT VIEWS against the pyarrow oracle join of the same
+    # bit views (NaN!=NaN makes float-table comparison unusable).
+    import pyarrow as pa
+
+    from dpu_olap_tpu.columnar import Batch, Table
+    from dpu_olap_tpu.operators.join_op import JoinTpu
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+
+    rng = np.random.default_rng(11)
+    nb, bl, br = 8, 1 << 10, 1 << 9
+
+    left, right = [], []
+    for i in range(nb):
+        pk = np.arange(i * br, (i + 1) * br, dtype=np.uint32)
+        # raw random bits: exercises NaN/inf/denormal payload patterns
+        xf64 = rng.integers(0, 2**64, br, dtype=np.uint64).view(np.float64)
+        fk = rng.integers(i * br, (i + 1) * br, bl, dtype=np.uint32)
+        yf32 = rng.integers(0, 2**32, bl, dtype=np.uint32).view(np.float32)
+        y32 = rng.integers(0, 2**32, bl, dtype=np.uint32)
+        left.append(Batch.from_numpy({"fk": fk, "yf": yf32, "y": y32}))
+        right.append(Batch.from_numpy({"pk": pk, "xf": xf64}))
+    ltab, rtab = Table(left), Table(right)
+
+    # oracle on the bit views (same join row-set; payload bits move inert)
+    lt = pa.table(
+        {
+            "fk": np.concatenate([np.asarray(b["fk"]) for b in left]),
+            "yf": np.concatenate(
+                [np.asarray(b["yf"]).view(np.uint32) for b in left]
+            ),
+            "y": np.concatenate([np.asarray(b["y"]) for b in left]),
+        }
+    )
+    rt = pa.table(
+        {
+            "pk": np.concatenate([np.asarray(b["pk"]) for b in right]),
+            "xf": np.concatenate(
+                [np.asarray(b["xf"]).view(np.uint64) for b in right]
+            ),
+        }
+    )
+    expect = lt.join(rt, keys="fk", right_keys="pk", join_type="inner")
+    key = [(n, "ascending") for n in expect.column_names]
+    exp_sorted = expect.sort_by(key)
+
+    def check(out, label):
+        assert out["yf"].dtype == np.float32, label
+        assert out["xf"].dtype == np.float64, label
+        got = pa.table(
+            {
+                "fk": out["fk"],
+                "yf": out["yf"].view(np.uint32),
+                "y": out["y"],
+                "xf": out["xf"].view(np.uint64),
+            }
+        ).select(expect.column_names)
+        assert got.sort_by(key).equals(exp_sorted), f"{label} mismatch"
+
+    for d in (1, 8):
+        ds = DeviceSet.allocate(d)
+        check(JoinTpu(ds, ltab, rtab).Prepare().Run(), f"d={d}")
+
+    # host-staged Partitioner path (large-working-set fallback)
+    ds = DeviceSet.allocate(8)
+    op = JoinTpu(ds, ltab, rtab).Prepare()
+    op.MAX_RESIDENT_ROWS = 1 << 10
+    check(op.Run(), "host-staged")

@@ -299,3 +299,64 @@ def test_fused_filter_join_u64_payload():
     got = pa.table({n_: np.asarray(b[n_]) for n_ in exp.column_names})
     key = [(c, "ascending") for c in exp.column_names]
     assert got.sort_by(key).equals(exp.sort_by(key))
+
+
+def test_fused_filter_join_float_payloads():
+    # f64/f32 payload columns must ride the fused tier as bit-pattern
+    # planes (not silently fall back to the materializing tier); raw random
+    # bits exercise NaN/inf payloads, so equality runs on the bit views
+    import pyarrow as pa
+
+    from dpu_olap_tpu.columnar import Batch, Table
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+    from dpu_olap_tpu import plan as plan_mod
+
+    rng = np.random.default_rng(5)
+    n = 1 << 12
+    pk = np.arange(n, dtype=np.uint32)
+    xf = rng.integers(0, 2**64, n, dtype=np.uint64).view(np.float64)
+    fk = rng.integers(0, n, n, dtype=np.uint32)
+    yf = rng.integers(0, 2**32, n, dtype=np.uint32).view(np.float32)
+    y = rng.integers(0, 2**32, n, dtype=np.uint32)
+    left = Table([Batch.from_numpy({"fk": fk, "yf": yf, "y": y})])
+    right = Table([Batch.from_numpy({"pk": pk, "xf": xf})])
+
+    ds1 = DeviceSet.allocate(1)
+    calls = {"fused": 0}
+    orig = plan_mod.HashJoin._fused_filter_join
+
+    def spy(self, ds, lc, rc):
+        out = orig(self, ds, lc, rc)
+        if out is not None:
+            calls["fused"] += 1
+        return out
+
+    node = HashJoin(Filter(Source(left), "y"), Source(right),
+                    fk="fk", pk="pk")
+    try:
+        plan_mod.HashJoin._fused_filter_join = spy
+        out = node.execute(ds1)
+    finally:
+        plan_mod.HashJoin._fused_filter_join = orig
+    assert calls["fused"] == 1, "float payloads fell off the fused tier"
+    b = out.concat()
+    assert np.asarray(b["yf"]).dtype == np.float32
+    assert np.asarray(b["xf"]).dtype == np.float64
+
+    keep = y < np.uint32(1 << 30)
+    exp = pa.table(
+        {"fk": fk[keep], "yf": yf[keep].view(np.uint32), "y": y[keep]}
+    ).join(
+        pa.table({"pk": pk, "xf": xf.view(np.uint64)}),
+        keys="fk", right_keys="pk", join_type="inner",
+    )
+    got = pa.table(
+        {
+            "fk": np.asarray(b["fk"]),
+            "yf": np.asarray(b["yf"]).view(np.uint32),
+            "y": np.asarray(b["y"]),
+            "xf": np.asarray(b["xf"]).view(np.uint64),
+        }
+    ).select(exp.column_names)
+    key = [(c, "ascending") for c in exp.column_names]
+    assert got.sort_by(key).equals(exp.sort_by(key))
