@@ -12,6 +12,15 @@ tunneled TPU backends block_until_ready acks at enqueue and host sync costs
 ~30ms, so each op is run K and 2K times inside one jit with a data dependence
 between iterations and timed by difference — fixed latency cancels.
 
+Repetition protocol (the reference runs everything with
+--benchmark_repetitions=3, scripts/run-upmem-2048.sh:17, and round-4's
+single samples spread 45% across identical-code runs): the default
+invocation forks BENCH_REPS (default 3) fresh worker processes — the
+baseline-isolation pattern — and reports the MEDIAN, with per-metric
+samples/median/min/spread committed to BENCH_DETAILS.json. Phase
+attribution runs interleaved inside one process (time_chained_multi) and
+is guarded against negative / >110%-of-total decompositions.
+
 Prints exactly ONE JSON line; per-operator details go to BENCH_DETAILS.json.
 """
 
@@ -31,7 +40,7 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def main():
+def run_worker():
     # persistent compile cache: tunnel-side TPU compiles are slow; reuse them
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -39,7 +48,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dpu_olap_tpu.bench.device_time import time_chained
+    from dpu_olap_tpu.bench.device_time import time_chained, time_chained_multi
     from dpu_olap_tpu.generator import make_join_tables, make_filter_batches
     from dpu_olap_tpu.ops.filter import filter_compact
     from dpu_olap_tpu.ops.aggregate import sum_u64_pair
@@ -173,15 +182,6 @@ def main():
         _, accs = jax.lax.scan(body, 0, (c, ly, rk, rx))
         return c ^ accs
 
-    _log("timing join (chained)...")
-    # k scales down with SF so the 2K-chain stays ~tens of joins; at SF=1
-    # k=8 keeps the K->2K difference above tunnel noise
-    join_sec = time_chained(join_step, lf, k=max(2, 8 // sf))
-    join_rows_per_s = rows / join_sec
-    details["join_real_ms"] = join_sec * 1e3
-    details["join_rows_per_s"] = join_rows_per_s
-    _log(f"join: {join_sec*1e3:.3f} ms -> {join_rows_per_s/1e6:.1f} Mrows/s")
-
     # per-phase attribution (join_benchmark.cc:48-60 build/probe/take phase
     # counters analog): chained timing of pipeline prefixes; differences
     # attribute time to sort / propagate / mask+output stages.
@@ -277,23 +277,65 @@ def main():
         pkey, pv = _fill_forward((jnp.where(is_pk, sk, EMPTY), sm))
         return rehash((sk ^ pkey ^ pv)[:per])
 
-    _log("timing join phases...")
-    # k=8: at k=2 the K->2K difference is tunnel-noise-dominated and the
-    # subtracted phase deltas can go negative (CLAUDE.md gotchas)
-    t_sort = time_chained(phase_sort, lf0, k=8)
-    t_mid = time_chained(phase_sort_merge, lf0, k=8)
+    _log("timing join + phases (interleaved chained)...")
     mid_name = "gather" if use_dense else ("merge" if use_merge else "propagate")
+
+    # The join total and both phase prefixes measure INTERLEAVED in one
+    # process (time_chained_multi): round-4's separate calls minutes apart
+    # let cross-run drift land in the residual phase, committing a
+    # physically impossible negative fill time. k=8 on the phase prefixes:
+    # at k=2 the K->2K difference is tunnel-noise-dominated (CLAUDE.md).
+    def measure():
+        return time_chained_multi(
+            [
+                ("total", join_step, lf, max(2, 8 // sf)),
+                ("sort", phase_sort, lf0, 8),
+                ("mid", phase_sort_merge, lf0, 8),
+            ]
+        )
+
+    t = measure()
+    join_sec = t["total"]
     # phases run on ONE batch, join_sec covers all SF batches: use the
     # per-batch steady-state time for the residual-phase delta
-    join_batch_sec = join_sec / sf
-    details["join_phase_sort_ms"] = t_sort * 1e3
-    details[f"join_phase_{mid_name}_ms"] = (t_mid - t_sort) * 1e3
-    details["join_phase_fill_mask_ms"] = (join_batch_sec - t_mid) * 1e3
-    _log(
-        f"join phases: sort={t_sort*1e3:.2f} "
-        f"{mid_name}={(t_mid-t_sort)*1e3:.2f} "
-        f"fill+mask/output={(join_batch_sec-t_mid)*1e3:.2f} ms"
-    )
+    for attempt in range(2):
+        batch = join_sec / sf
+        consistent = (
+            0 <= t["sort"] <= t["mid"] and t["mid"] <= 1.10 * batch
+        )
+        if consistent or attempt:
+            break
+        _log("phase decomposition inconsistent, re-measuring once...")
+        t = measure()
+        join_sec = t["total"]
+    join_rows_per_s = rows / join_sec
+    details["join_real_ms"] = join_sec * 1e3
+    details["join_rows_per_s"] = join_rows_per_s
+    _log(f"join: {join_sec*1e3:.3f} ms -> {join_rows_per_s/1e6:.1f} Mrows/s")
+
+    # raw prefix medians are always committed; the derived decomposition
+    # only when it is physically sane (every phase >= 0, sum == total by
+    # construction, no prefix exceeding 110% of the total)
+    details["join_prefix_sort_ms"] = t["sort"] * 1e3
+    details["join_prefix_mid_ms"] = t["mid"] * 1e3
+    details["join_phase_consistent"] = bool(consistent)
+    if consistent:
+        batch = join_sec / sf
+        details["join_phase_sort_ms"] = t["sort"] * 1e3
+        details[f"join_phase_{mid_name}_ms"] = (t["mid"] - t["sort"]) * 1e3
+        details["join_phase_fill_mask_ms"] = max(0.0, batch - t["mid"]) * 1e3
+        _log(
+            f"join phases: sort={t['sort']*1e3:.2f} "
+            f"{mid_name}={(t['mid']-t['sort'])*1e3:.2f} "
+            f"fill+mask/output={(batch-t['mid'])*1e3:.2f} ms"
+        )
+    else:
+        _log(
+            "join phase decomposition UNRELIABLE after retry "
+            f"(sort={t['sort']*1e3:.2f} mid={t['mid']*1e3:.2f} "
+            f"batch={join_sec/sf*1e3:.2f} ms) — raw prefixes committed, "
+            "derived phases withheld"
+        )
 
     # correctness spot check (forces one real execution of the timed path;
     # count on device to avoid a large readback through the tunnel)
@@ -390,7 +432,13 @@ def main():
     details["take_rows_per_s"] = ni / tsec
     _log("writing results")
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"), "w") as f:
+    out_path = os.environ.get(
+        "BENCH_DETAILS_PATH",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+        ),
+    )
+    with open(out_path, "w") as f:
         json.dump(details, f, indent=2)
 
     print(
@@ -403,6 +451,130 @@ def main():
             }
         )
     )
+
+
+def run_parent():
+    """Fork BENCH_REPS fresh worker processes (the baseline-isolation
+    pattern: identical-code single samples spread 45% across round-4 runs)
+    and report the MEDIAN; per-metric samples/median/min/spread go to
+    BENCH_DETAILS.json. Reference protocol: --benchmark_repetitions=3
+    (scripts/run-upmem-2048.sh:17)."""
+    import statistics
+    import subprocess
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    samples, skip_reason = [], None
+    attempts = 0
+    while len(samples) < reps and attempts < reps + 2:
+        i = attempts
+        attempts += 1
+        path = f"/tmp/bench_worker_{os.getpid()}_{i}.json"
+        env = dict(os.environ, BENCH_DETAILS_PATH=path)
+        _log(f"worker {len(samples) + 1}/{reps} (attempt {i + 1})...")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            env=env,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        line = (p.stdout or "").strip().splitlines()
+        parsed = None
+        if line:
+            try:
+                parsed = json.loads(line[-1])
+            except json.JSONDecodeError:
+                parsed = None
+        if p.returncode != 0 or parsed is None:
+            _log(f"worker failed (rc={p.returncode}); retrying")
+            continue
+        if parsed.get("skipped"):
+            skip_reason = parsed.get("reason")
+            _log(f"worker skipped: {skip_reason}")
+            continue
+        try:
+            with open(path) as f:
+                samples.append(json.load(f))
+            os.unlink(path)
+        except (OSError, json.JSONDecodeError) as e:
+            _log(f"worker details unreadable: {e}")
+
+    if not samples:
+        print(
+            json.dumps(
+                {
+                    "metric": "join_rows_per_s",
+                    "value": None,
+                    "unit": "rows/s",
+                    "vs_baseline": None,
+                    "skipped": True,
+                    "reason": skip_reason or "all bench workers failed",
+                }
+            )
+        )
+        return
+
+    # aggregate: median + min of every numeric metric present in ALL samples
+    numeric = [
+        k
+        for k, v in samples[0].items()
+        if isinstance(v, (int, float)) and not isinstance(v, bool)
+        and all(
+            isinstance(s.get(k), (int, float)) and not isinstance(s.get(k), bool)
+            for s in samples
+        )
+    ]
+    median = {k: statistics.median(s[k] for s in samples) for k in numeric}
+    mn = {k: min(s[k] for s in samples) for k in numeric}
+    spread = {
+        k: (
+            100.0
+            * (max(s[k] for s in samples) - mn[k])
+            / abs(median[k])
+            if median[k]
+            else 0.0
+        )
+        for k in numeric
+    }
+    details = {
+        "reps": len(samples),
+        "devices": samples[0].get("devices"),
+        "sf": samples[0].get("sf"),
+        "rows": samples[0].get("rows"),
+        "median": median,
+        "min": mn,
+        "spread_pct": {k: round(v, 2) for k, v in spread.items()},
+        "samples": samples,
+    }
+    with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+    value = median["join_rows_per_s"]
+    base = median.get("arrow_join_rows_per_s")
+    _log(
+        f"median of {len(samples)}: {value/1e6:.1f} Mrows/s "
+        f"(spread {spread['join_rows_per_s']:.1f}%)"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "join_rows_per_s",
+                "value": value,
+                "unit": "rows/s",
+                "vs_baseline": (value / base) if base else None,
+                "sf": samples[0].get("sf"),
+                "samples": len(samples),
+                "spread_pct": round(spread["join_rows_per_s"], 2),
+            }
+        )
+    )
+
+
+def main():
+    if "--worker" in sys.argv:
+        run_worker()
+    else:
+        run_parent()
 
 
 if __name__ == "__main__":

@@ -61,3 +61,43 @@ def time_chained(make_step, x, k: int = 16, reps: int = 3) -> float:
         deltas.append((t2 - t1) / k)
     deltas.sort()
     return max(deltas[len(deltas) // 2], 1e-9)
+
+
+def time_chained_multi(specs, reps: int = 3) -> dict:
+    """Interleaved chained timing of SEVERAL candidates in one process.
+
+    specs: list of (name, make_step, x, k). All K and 2K chains compile and
+    warm first; measurement rounds then visit every candidate round-robin,
+    so slow drift (tunnel load, thermal clock migration) lands evenly
+    across candidates instead of in whichever ran last — the failure mode
+    that produced a committed NEGATIVE phase time in round 4's
+    BENCH_DETAILS.json (phases were separate time_chained calls minutes
+    apart and their differences inherited the drift). Returns
+    {name: median seconds per op}.
+    """
+    import numpy as np
+
+    def _sync(out):
+        return np.asarray(out.ravel()[:1])
+
+    compiled = []
+    for name, make_step, x, k in specs:
+        f1, f2 = _chain(make_step, k), _chain(make_step, 2 * k)
+        _sync(f1(x))
+        _sync(f2(x))
+        compiled.append((name, f1, f2, x, k))
+
+    deltas = {name: [] for name, *_ in specs}
+    for _ in range(reps):
+        for name, f1, f2, x, k in compiled:
+            t0 = time.perf_counter()
+            _sync(f1(x))
+            t1 = time.perf_counter()
+            _sync(f2(x))
+            t2 = time.perf_counter()
+            deltas[name].append(((t2 - t1) - (t1 - t0)) / k)
+    out = {}
+    for name, ds in deltas.items():
+        ds.sort()
+        out[name] = max(ds[len(ds) // 2], 1e-9)
+    return out

@@ -101,6 +101,16 @@ class Batch:
     def to_numpy(self) -> Dict[str, np.ndarray]:
         return {n: np.asarray(c) for n, c in self.columns.items()}
 
+    @property
+    def is_device(self) -> bool:
+        """True when every column is a device-resident jax.Array (operator
+        outputs that have NOT been materialized to the host — the
+        reference's results-stay-on-DPU-until-final-gather contract,
+        host/dpuext/dpuext.hpp:859-875)."""
+        return bool(self.columns) and all(
+            isinstance(c, jax.Array) for c in self.columns.values()
+        )
+
     @staticmethod
     def from_arrow(rb: "pa.RecordBatch", device=None) -> "Batch":
         """Zero-copy (host side) import of a pyarrow RecordBatch."""
@@ -151,6 +161,21 @@ class Table:
 
         return Batch(
             {n: cat([b[n] for b in self.batches]) for n in self.names}
+        )
+
+    @property
+    def is_device(self) -> bool:
+        """True when every batch is device-resident (see Batch.is_device)."""
+        return bool(self.batches) and all(b.is_device for b in self.batches)
+
+    def to_host(self) -> "Table":
+        """Materialize every column to host numpy (the final gather). Lazy
+        counterpart of the device-resident result contract: operators and
+        plan nodes hand device Tables to each other and only a consumer
+        that actually leaves the device pays the transfer."""
+        return Table(
+            [Batch({n: np.asarray(c) for n, c in b.columns.items()})
+             for b in self.batches]
         )
 
     def to_arrow(self) -> "pa.Table":

@@ -84,6 +84,14 @@ class Flags:
     # runs instrumented sub-programs, so it costs extra device work —
     # off by default, enabled per run like the reference's -D flag.
     join_timers: bool = False
+    # Fuse the per-fragment counts into the stacked-plane all_to_all (ONE
+    # collective per exchange instead of two) by riding them in a 128-lane
+    # tail column: +128/cell relative ICI bytes for one fewer collective
+    # dispatch+latency. Off by default — measured a wash on the CPU proxy
+    # at D<=4 and the tail bytes are pure loss on real ICI where the tiny
+    # counts collective overlaps anyway; kept selectable for hardware
+    # re-measurement (MULTICHIP_SCALING.json quantifies both).
+    shuffle_counts_inband: bool = False
 
 
 FLAGS = Flags(

@@ -24,5 +24,6 @@ from .hashtable import (  # noqa: F401
     ht_build_sorted,
     ht_probe,
     ht_probe_sorted,
+    ht_probe_sorted_stream,
 )
 from .join import join_shard  # noqa: F401

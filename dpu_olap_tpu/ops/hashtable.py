@@ -277,6 +277,36 @@ def ht_build_sorted(
     return SortedTable(keys=sk, values=sv)
 
 
+def _probe_sorted_stream(table, q, interpret):
+    """Shared sort->merge core: probe the sorted-query stream. Returns
+    (spos, pval, found_s) of length npow >= k — sorted-query order, where
+    spos is each entry's original position (pads, if any, carry pos >= k
+    and are never found: their key is the EMPTY sentinel)."""
+    from .merge_pallas import merge_probe_pallas
+    from .sort_pallas import sort_bitonic
+
+    k = q.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (k,), 0)
+    # pad to the sort's power-of-two length HERE with distinct pos keys
+    # >= k: queries may legitimately BE the EMPTY sentinel (padded
+    # fragments), and sort_bitonic's anonymous internal pads would
+    # interleave with them, leaking pad payloads into the kept slice
+    # and displacing real pos entries through the restore sort
+    # (round-3 review finding). With pos = k..npow-1 the pads restore
+    # to [k, npow) and [:k] is exact.
+    npow = 1 << (k - 1).bit_length()
+    q_p, pos_p = q, pos
+    if npow != k:
+        q_p = jnp.concatenate([q, jnp.full((npow - k,), EMPTY, jnp.uint32)])
+        pos_p = jnp.arange(npow, dtype=jnp.uint32)
+    sq, spos = sort_bitonic((q_p, pos_p), interpret=interpret)
+    has, pkey, (pval,) = merge_probe_pallas(
+        sq, table.keys, (table.values,), interpret=interpret
+    )
+    found_s = has & (pkey == sq) & (sq != EMPTY)
+    return spos, pval, found_s
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def ht_probe_sorted(
     table: SortedTable, queries: jnp.ndarray, interpret: bool = False
@@ -284,30 +314,11 @@ def ht_probe_sorted(
     """(values, found) per query against a SortedTable, query order."""
     q = queries.astype(jnp.uint32)
     k = q.shape[0]
-    pos = jax.lax.broadcasted_iota(jnp.uint32, (k,), 0)
     from .sort_pallas import sort_bitonic, sortable_bitonic
 
     use_pallas = (_on_tpu() or interpret) and sortable_bitonic(k)
     if use_pallas:
-        from .merge_pallas import merge_probe_pallas
-
-        # pad to the sort's power-of-two length HERE with distinct pos keys
-        # >= k: queries may legitimately BE the EMPTY sentinel (padded
-        # fragments), and sort_bitonic's anonymous internal pads would
-        # interleave with them, leaking pad payloads into the kept slice
-        # and displacing real pos entries through the restore sort
-        # (round-3 review finding). With pos = k..npow-1 the pads restore
-        # to [k, npow) and [:k] is exact.
-        npow = 1 << (k - 1).bit_length()
-        q_p, pos_p = q, pos
-        if npow != k:
-            q_p = jnp.concatenate([q, jnp.full((npow - k,), EMPTY, jnp.uint32)])
-            pos_p = jnp.arange(npow, dtype=jnp.uint32)
-        sq, spos = sort_bitonic((q_p, pos_p), interpret=interpret)
-        has, pkey, (pval,) = merge_probe_pallas(
-            sq, table.keys, (table.values,), interpret=interpret
-        )
-        found_s = has & (pkey == sq) & (sq != EMPTY)
+        spos, pval, found_s = _probe_sorted_stream(table, q, interpret)
         # restore key packs found into bit 0: one payload plane, 2-op sort
         rk = (spos << jnp.uint32(1)) | found_s.astype(jnp.uint32)
         rk2, vout = sort_bitonic((rk, pval), interpret=interpret)
@@ -325,6 +336,37 @@ def ht_probe_sorted(
     vat = jnp.take(table.values, at, mode="clip")
     found = (kat == q) & (q != EMPTY)
     return jnp.where(found, vat, 0), found
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def ht_probe_sorted_stream(
+    table: SortedTable, queries: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Order-free probe: (pos, values, found) in sorted-QUERY stream order.
+
+    Skips ht_probe_sorted's restore sort (the round-4 'bookend-sort tax':
+    the merge stream runs ~550M q/s while the restored probe lands at
+    ~257M/s). Every real query appears exactly once in the stream; pos is
+    its original position, so consumers that aggregate over matches, feed
+    the result into another sort, or scatter lazily
+    (vals.at[pos].set(...)) never pay for query order. The returned arrays
+    have length npow = next_pow2(k); pad entries (only when k is not a
+    power of two) carry pos >= k and found=False.
+
+    Reference analog: ht_get's query-order output (hashtable.c:167-192) is
+    free on the DPU because MRAM loads are random-access; on TPU order is
+    the expensive half, so the contract splits like take_sorted_stream."""
+    q = queries.astype(jnp.uint32)
+    k = q.shape[0]
+    from .sort_pallas import sort_bitonic, sortable_bitonic
+
+    if (_on_tpu() or interpret) and sortable_bitonic(k):
+        spos, pval, found_s = _probe_sorted_stream(table, q, interpret)
+        return spos, jnp.where(found_s, pval, 0), found_s
+    # CPU / tiny-shape fallback: ordered probe re-expressed as a stream
+    val, found = ht_probe_sorted(table, q, interpret=interpret)
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (k,), 0)
+    return pos, val, found
 
 
 def _signed_view(x: jnp.ndarray) -> jnp.ndarray:

@@ -285,21 +285,11 @@ def takeable_sorted(n_data: int, n_idx: int) -> bool:
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("window_rows", "interpret")
-)
-def take_sorted(
-    data: jnp.ndarray,
-    indices: jnp.ndarray,
-    window_rows: int | None = None,
-    interpret: bool = False,
-):
-    """out[i] = data[indices[i]] (clip semantics), plus an overflow flag.
-
-    The jitted sort->stream->sort pipeline. The flag is 0 whenever no table
-    slice's query run overflowed the window; callers that cannot bound index
-    clustering check it host-side and retry with window_rows*2 (TakeTpu), or
-    pre-size the window from the index distribution (benchmarks)."""
+def _stream_take(data, indices, window_rows, interpret):
+    """Shared sort->stream core: returns (spos, val, flag, k) over the
+    power-of-two padded query stream (length npow >= k). spos is an exact
+    permutation of 0..npow-1; pads carry key 0xFFFFFFFF (> any clipped real
+    query, so they occupy exactly the tail slots [k, npow))."""
     n = data.shape[0]
     k = indices.shape[0]
     if window_rows is None:
@@ -332,8 +322,58 @@ def take_sorted(
     val, flag = gather_sorted_pallas(
         bits, sidx, window_rows=window_rows, interpret=interpret
     )
+    return spos, val, flag, k
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_rows", "interpret")
+)
+def take_sorted(
+    data: jnp.ndarray,
+    indices: jnp.ndarray,
+    window_rows: int | None = None,
+    interpret: bool = False,
+):
+    """out[i] = data[indices[i]] (clip semantics), plus an overflow flag.
+
+    The jitted sort->stream->sort pipeline. The flag is 0 whenever no table
+    slice's query run overflowed the window; callers that cannot bound index
+    clustering check it host-side and retry with window_rows*2 (TakeTpu), or
+    pre-size the window from the index distribution (benchmarks)."""
+    spos, val, flag, k = _stream_take(data, indices, window_rows, interpret)
     _, out = sort_bitonic((spos, val), interpret=interpret)
     out = out[:k]
     if data.dtype != jnp.uint32:
         out = jax.lax.bitcast_convert_type(out, data.dtype)
     return out, flag
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_rows", "interpret")
+)
+def take_sorted_stream(
+    data: jnp.ndarray,
+    indices: jnp.ndarray,
+    window_rows: int | None = None,
+    interpret: bool = False,
+):
+    """Order-free take: (pos, val, flag) in ASCENDING-index stream order.
+
+    val[j] = data[sorted(indices)[j]] (clip semantics) and pos[j] is that
+    query's original position, both length k — the restore sort that
+    take_sorted pays to put values back in query order (~1/3 of its
+    end-to-end time at the BM_Take shape, the round-4 'bookend-sort tax')
+    is skipped. Consumers that aggregate, feed another sort, or can scatter
+    lazily (out = zeros.at[pos].set(val)) take this entry point; order-
+    dependent consumers use take_sorted. flag semantics match take_sorted.
+
+    Reference: dpu/shared/kernels/take.c:27-41 emits output in query order
+    because MRAM random loads are order-free; on TPU order itself is the
+    expensive part, so the contract splits."""
+    spos, val, flag, k = _stream_take(data, indices, window_rows, interpret)
+    # pads (key 0xFFFFFFFF) sort strictly after clipped real queries (< n),
+    # so the first k stream slots are exactly the real queries
+    out = val[:k]
+    if data.dtype != jnp.uint32:
+        out = jax.lax.bitcast_convert_type(out, data.dtype)
+    return spos[:k], out, flag

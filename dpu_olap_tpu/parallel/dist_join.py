@@ -156,6 +156,9 @@ def dist_join(
     key = (
         n_dev, cell_left, cell_right, impl, keys31, rounds,
         len(left_payloads), len(right_payloads),
+        # read at trace time inside shuffle_partitions — a flag flip must
+        # miss the cache, not silently reuse the other exchange form
+        FLAGS.shuffle_counts_inband,
     )
     fn = per_mesh.get(key)
     if fn is None:

@@ -153,6 +153,7 @@ def shuffle_partitions(
     cell_size: int,
     axis_name: str = AXIS,
     rounds: int = 1,
+    counts_inband: bool | None = None,
 ) -> ShuffleResult:
     """SPMD shuffle body: call inside shard_map over ``axis_name`` with
     nr_partitions == axis size. Local partition -> all_to_all exchange.
@@ -173,15 +174,34 @@ def shuffle_partitions(
     # payload planes ride stacked on a middle axis (the reference moves
     # everything in one sg_xfer too; per-plane collectives paid one latency
     # + dispatch per payload column — round-3 verdict item 4). The (P,)
-    # counts vector stays a second, tiny collective: padding it to cell
-    # width to ride in-band would cost a full extra plane of ICI bytes.
+    # counts vector defaults to a second, tiny collective; counts_inband
+    # (FLAGS.shuffle_counts_inband) instead rides it in a 128-lane tail
+    # column of the stacked plane — ONE collective total, +128/cell
+    # relative ICI bytes (the round-5 D=8 attribution variant,
+    # MULTICHIP_SCALING.json quantifies both).
+    if counts_inband is None:
+        from ..config import FLAGS
+
+        counts_inband = FLAGS.shuffle_counts_inband
     stacked = jnp.stack([ck, *cp], axis=1)  # (P, planes, cell)
-    recv = jax.lax.all_to_all(
-        stacked, axis_name, split_axis=0, concat_axis=0, tiled=True
-    )
-    recv_counts = jax.lax.all_to_all(
-        counts[:, None], axis_name, split_axis=0, concat_axis=0, tiled=True
-    )[:, 0]
+    if counts_inband:
+        tail = jnp.zeros(
+            (stacked.shape[0], stacked.shape[1], LANES_), jnp.uint32
+        )
+        tail = tail.at[:, 0, 0].set(counts)
+        recv = jax.lax.all_to_all(
+            jnp.concatenate([stacked, tail], axis=2),
+            axis_name, split_axis=0, concat_axis=0, tiled=True,
+        )
+        recv_counts = recv[:, 0, cell_size]
+        recv = recv[:, :, :cell_size]
+    else:
+        recv = jax.lax.all_to_all(
+            stacked, axis_name, split_axis=0, concat_axis=0, tiled=True
+        )
+        recv_counts = jax.lax.all_to_all(
+            counts[:, None], axis_name, split_axis=0, concat_axis=0, tiled=True
+        )[:, 0]
     return ShuffleResult(
         keys=recv[:, 0],
         payloads=tuple(recv[:, 1 + i] for i in range(len(cp))),

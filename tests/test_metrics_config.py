@@ -62,3 +62,23 @@ def test_aggregators_differential(rng, agg):
 def test_unknown_aggregator_rejected():
     with pytest.raises(ValueError):
         aggregate(jnp.zeros(8, jnp.uint32), "median")
+
+
+def test_time_chained_multi_interleaved():
+    # the interleaved chained timer returns positive per-op times for every
+    # candidate and keys them by name (bench.py's phase-attribution protocol)
+    import jax.numpy as jnp
+
+    from dpu_olap_tpu.bench.device_time import time_chained_multi
+
+    x = jnp.arange(1 << 14, dtype=jnp.uint32)
+
+    def f(c):
+        return c ^ (jnp.cumsum(c) & jnp.uint32(3)).astype(jnp.uint32)
+
+    def g(c):
+        return c + jnp.uint32(1)
+
+    out = time_chained_multi([("f", f, x, 4), ("g", g, x, 4)], reps=2)
+    assert set(out) == {"f", "g"}
+    assert all(v > 0 for v in out.values())

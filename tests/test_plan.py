@@ -360,3 +360,115 @@ def test_fused_filter_join_float_payloads():
     ).select(exp.column_names)
     key = [(c, "ascending") for c in exp.column_names]
     assert got.sort_by(key).equals(exp.sort_by(key))
+
+
+def test_take_sum_orderfree_fused_tier():
+    # Sum over a TakeNode is order-invariant: it must take the order-free
+    # sorted-stream tier (no restore sort, no materialized take output) and
+    # equal the materializing path bit-exactly
+    from dpu_olap_tpu import plan as plan_mod
+    from dpu_olap_tpu.columnar import Batch, Table
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+    from dpu_olap_tpu.plan import Aggregate, Source, TakeNode
+
+    rng = np.random.default_rng(9)
+    n, k, nb = 16 << 10, 8 << 10, 3
+    data = Table(
+        [Batch.from_numpy({"a": rng.integers(0, 2**32, n, dtype=np.uint32)})
+         for _ in range(nb)]
+    )
+    idx = Table(
+        [Batch.from_numpy({"i": rng.integers(0, n, k, dtype=np.uint32)})
+         for _ in range(nb)]
+    )
+    ds = DeviceSet.allocate(1)
+
+    calls = {"fused": 0}
+    orig = plan_mod.Aggregate._take_sum_stream
+
+    def spy(self, ds_):
+        out = orig(self, ds_)
+        if out is not None:
+            calls["fused"] += 1
+        return out
+
+    try:
+        plan_mod.Aggregate._take_sum_stream = spy
+        got = Aggregate(TakeNode(Source(data), Source(idx)), "a").scalar(ds)
+    finally:
+        plan_mod.Aggregate._take_sum_stream = orig
+    assert calls["fused"] == 1, "take->sum did not fuse to the stream tier"
+
+    expect = 0
+    for db, ib in zip(data, idx):
+        a = np.asarray(db["a"]).astype(np.uint64)
+        expect += int(a[np.asarray(ib["i"])].sum())
+    assert got == expect
+
+    # materializing path agrees (cached TakeNode disables the fused tier)
+    tn = TakeNode(Source(data), Source(idx))
+    tn._run(ds)
+    assert Aggregate(tn, "a").scalar(ds) == expect
+
+
+def test_device_resident_plan_chain():
+    # Filter -> HashJoin -> Aggregate with a MATERIALIZED (cached) filter
+    # node: intermediates pass between nodes as device columns; the join
+    # runs the device-resident tier (no JoinTpu host materialization) and
+    # the aggregate reduces in place (no SumTpu) — the reference's
+    # results-stay-on-device contract (dpuext.hpp:859-875)
+    import jax
+
+    from dpu_olap_tpu import plan as plan_mod
+    from dpu_olap_tpu.columnar import Batch, Table
+    from dpu_olap_tpu.parallel.mesh import DeviceSet
+    from dpu_olap_tpu.plan import Aggregate, Filter, HashJoin, Source
+
+    rng = np.random.default_rng(13)
+    n = 1 << 12
+    pk = np.arange(n, dtype=np.uint32)
+    x = rng.integers(0, 2**31 - 2, n, dtype=np.uint32)
+    fk = rng.integers(0, n, 4 * n, dtype=np.uint32)
+    y = rng.integers(0, 2**32, 4 * n, dtype=np.uint32)
+    left = Table([Batch.from_numpy({"fk": fk, "y": y})])
+    right = Table([Batch.from_numpy({"pk": pk, "x": x})])
+    ds = DeviceSet.allocate(1)
+
+    fnode = Filter(Source(left), "y")
+    ftab = fnode._run(ds)  # materialize: output columns are DEVICE arrays
+    assert ftab.is_device
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise AssertionError("materializing operator used in device chain")
+
+    jnode = HashJoin(fnode, Source(right), fk="fk", pk="pk")
+    import dpu_olap_tpu.operators.join_op as join_op_mod
+    import dpu_olap_tpu.operators.aggr_op as aggr_op_mod
+
+    orig_join, orig_sum = join_op_mod.JoinTpu, aggr_op_mod.SumTpu
+    try:
+        join_op_mod.JoinTpu = Boom
+        aggr_op_mod.SumTpu = Boom
+        jtab = jnode._run(ds)
+        assert jtab.is_device, "join result left the device"
+        got = Aggregate(jnode, "x").scalar(ds)
+    finally:
+        join_op_mod.JoinTpu = orig_join
+        aggr_op_mod.SumTpu = orig_sum
+
+    keep = y < np.uint32(1 << 30)
+    import pyarrow as pa
+
+    exp_t = pa.table({"fk": fk[keep], "y": y[keep]}).join(
+        pa.table({"pk": pk, "x": x}), keys="fk", right_keys="pk",
+        join_type="inner",
+    )
+    expect = int(exp_t["x"].to_numpy().astype(np.uint64).sum())
+    assert got == expect
+
+    # join row-set parity (device tier vs oracle), via to_host
+    host = jtab.to_host().concat()
+    gt = pa.table({k: np.asarray(host[k]) for k in ("fk", "y", "x")})
+    key = [(c, "ascending") for c in ("fk", "y", "x")]
+    assert gt.sort_by(key).equals(exp_t.select(["fk", "y", "x"]).sort_by(key))

@@ -82,3 +82,36 @@ def test_default_cell_size_lane_aligned():
     assert default_cell_size(2048, 8, 2.0) == 512
     assert default_cell_size(100, 8, 1.5) % 128 == 0
     assert default_cell_size(1, 8, 1.0) == 128
+
+
+def test_shuffle_counts_inband_matches_two_collective(rng):
+    # counts_inband=True fuses the counts into the stacked-plane all_to_all
+    # (one collective per exchange); the received fragments and counts must
+    # be identical to the two-collective default
+    ds = DeviceSet.allocate(8)
+    n = 8 * 2048
+    keys = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    pay = np.arange(n, dtype=np.uint32)
+    cell = default_cell_size(2048, 8, 2.0)
+
+    def run(inband):
+        fn = ds.shard_fn(
+            lambda k, p: shuffle_partitions(
+                k, (p,), 8, cell, counts_inband=inband
+            ),
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+        )
+        return fn(ds.scatter(keys), ds.scatter(pay))
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    ca = np.asarray(a.counts).reshape(-1)
+    ka, kb = np.asarray(a.keys), np.asarray(b.keys)
+    pa_, pb = np.asarray(a.payloads[0]), np.asarray(b.payloads[0])
+    for f in range(ka.shape[0]):
+        c = int(ca[f])
+        np.testing.assert_array_equal(ka[f, :c], kb[f, :c])
+        np.testing.assert_array_equal(pa_[f, :c], pb[f, :c])
+    assert not np.any(np.asarray(b.overflow))

@@ -159,3 +159,44 @@ def test_take_sorted_nonpow2_padded_k(rng):
         )
         assert int(flag) == 0
         np.testing.assert_array_equal(np.asarray(out), data[idx])
+
+
+def test_take_sorted_stream_orderfree(rng):
+    from dpu_olap_tpu.ops.take_pallas import take_sorted_stream
+
+    n, k = 64 << 10, 16 << 10
+    data = rng.integers(0, 2**32, n, dtype=np.uint32)
+    idx = rng.integers(0, n, k, dtype=np.uint32)
+    pos, val, flag = take_sorted_stream(
+        jnp.asarray(data), jnp.asarray(idx), interpret=True
+    )
+    assert int(flag) == 0
+    pos, val = np.asarray(pos), np.asarray(val)
+    assert pos.shape == val.shape == (k,)
+    # pos is a permutation of 0..k-1 and the scatter reconstructs the
+    # ordered take exactly
+    assert np.array_equal(np.sort(pos), np.arange(k, dtype=np.uint32))
+    out = np.zeros(k, np.uint32)
+    out[pos] = val
+    np.testing.assert_array_equal(out, data[idx])
+    # the stream itself is in ascending-index order
+    np.testing.assert_array_equal(val, data[np.sort(idx)])
+
+
+def test_take_sorted_stream_nonpow2_and_clip(rng):
+    from dpu_olap_tpu.ops.take_pallas import take_sorted_stream
+
+    n, k = 32 << 10, 9_001
+    data = rng.integers(0, 2**32, n, dtype=np.uint32)
+    idx = rng.integers(0, n, k, dtype=np.uint32)
+    idx[rng.choice(k, 50, replace=False)] = 0xFFFFFFF0  # out of range -> clip
+    pos, val, flag = take_sorted_stream(
+        jnp.asarray(data), jnp.asarray(idx), interpret=True
+    )
+    assert int(flag) == 0
+    pos, val = np.asarray(pos), np.asarray(val)
+    assert pos.shape == val.shape == (k,)
+    assert np.array_equal(np.sort(pos), np.arange(k, dtype=np.uint32))
+    out = np.zeros(k, np.uint32)
+    out[pos] = val
+    np.testing.assert_array_equal(out, data[np.minimum(idx, n - 1)])

@@ -64,6 +64,17 @@ def test_lower_filter_kernels():
     lowers(lambda v: filter_pallas_padded(v), u32(50_000))
 
 
+def test_lower_filter_v3_kernels():
+    from dpu_olap_tpu.ops.filter_pallas3 import (
+        filter_compact_pallas3,
+        filter_with_indices_pallas3,
+    )
+
+    lowers(lambda v: filter_compact_pallas3(v), u32(3 << 15))
+    lowers(lambda v: filter_with_indices_pallas3(v), u32(3 << 15))
+    lowers(lambda v: filter_compact_pallas3(v, block_rows=512), u32(1 << 17))
+
+
 def test_lower_filter_v2_kernels():
     # the documented-negative v2 kernel stays lowering-pinned so its
     # measurements remain reproducible on future toolchains
@@ -122,13 +133,20 @@ def test_lower_merge_probe():
 
 
 def test_lower_take_kernels():
-    from dpu_olap_tpu.ops.take_pallas import gather_sorted_pallas, take_sorted
+    from dpu_olap_tpu.ops.take_pallas import (
+        gather_sorted_pallas,
+        take_sorted,
+        take_sorted_stream,
+    )
 
     data, idx = u32(1 << 20), u32(128 << 10)
     lowers(lambda d, s: gather_sorted_pallas(d, s), data, idx)
     lowers(lambda d, s: take_sorted(d, s), data, idx)
     # non-power-of-two query count: the explicit pow2 pad branch
     lowers(lambda d, s: take_sorted(d, s), data, u32(100_000))
+    # order-free stream variant (no restore sort)
+    lowers(lambda d, s: take_sorted_stream(d, s), data, idx)
+    lowers(lambda d, s: take_sorted_stream(d, s), data, u32(100_000))
 
 
 def test_lower_sorted_hashtable():
@@ -142,6 +160,15 @@ def test_lower_sorted_hashtable():
 
     lowers(build_probe, u32(n), u32(n), u32(n))
     lowers(build_probe, u32(n), u32(n), u32(50_000))  # non-pow2 queries
+
+    from dpu_olap_tpu.ops.hashtable import ht_probe_sorted_stream
+
+    def build_probe_stream(k, v, q):
+        t = ht_build_sorted(k, v)
+        return ht_probe_sorted_stream(t, q)
+
+    lowers(build_probe_stream, u32(n), u32(n), u32(n))
+    lowers(build_probe_stream, u32(n), u32(n), u32(50_000))
 
 
 # ---- fused join programs (the flagship paths) -------------------------------
