@@ -88,13 +88,21 @@ def filter_compact(
     if impl == "auto":
         impl = "pallas" if (predicate is default_predicate and _on_tpu()) else "scatter"
     if impl == "pallas":
-        from .filter_pallas import filter_pallas_padded
-
         if predicate is not default_predicate:
             raise ValueError("pallas filter supports the threshold predicate only")
-        # ENABLE_TRACE=1 streams per-block kernel progress via pl.debug_print
-        # (the reference's device trace() printf, shared/umq/log.h:13-17)
-        return filter_pallas_padded(values, fill=fill, trace=FLAGS.enable_trace)
+        if FLAGS.enable_trace:
+            # ENABLE_TRACE=1 streams per-block progress via pl.debug_print
+            # (the reference's device trace() printf, shared/umq/log.h:13-17)
+            # — only the v1 kernel carries the trace hooks
+            from .filter_pallas import filter_pallas_padded
+
+            return filter_pallas_padded(values, fill=fill, trace=True)
+        # v3 (two-stage split network) is the compact default since round 5:
+        # +10% over v1 at the 8Mi chain regime, a wash at the HBM-honest
+        # 64Mi scale (MEASURE_FILTER.json v3 section)
+        from .filter_pallas3 import filter_pallas3_padded
+
+        return filter_pallas3_padded(values, fill=fill)
     return _filter_compact_xla(values, predicate, impl, fill)
 
 

@@ -1,8 +1,9 @@
 """Pallas TPU kernel: stable filter compaction, v2 (search + gather).
 
-MEASURED NEGATIVE RESULT (round 4, kept as the documented experiment): on
-v5e this loses to the v1 butterfly — 0.69ms vs 0.55ms at 8Mi/r256 and
-7.6ms vs 5.5ms at 64Mi (MEASURE_FILTER.json v2 section). The op-count model
+MEASURED NEGATIVE RESULT (round 4; re-measured interleaved in round 5,
+MEASURE_FILTER.json v3 section): on v5e this loses to the v1 butterfly —
+0.678ms vs 0.596ms at 8Mi/r256 and 7.25ms vs 5.76ms at 64Mi, same-process
+chained A/B. The op-count model
 predicted ~2x fewer vector ops, but in-kernel `take_along_axis` gathers
 cost ~14 roll/select-equivalents each (they do not pipeline on the VPU the
 way roll+select chains do), and this design issues 7 search gathers + 1

@@ -278,6 +278,30 @@ def filter_compact_pallas3(
     return _call(values, threshold, False, block_rows, interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("fill", "interpret"))
+def filter_pallas3_padded(values, fill: int = 0, interpret: bool = False):
+    """Arbitrary-length wrapper with the ops.filter.filter_compact contract
+    (mirrors filter_pallas.filter_pallas_padded): pads with all-fail
+    sentinels, compacts with the v3 kernel, poisons the tail to ``fill``.
+
+    v3 is the compact-path default since round 5: measured +10% over v1 at
+    the 8Mi chain regime (0.544 vs 0.596 ms) and a wash at the HBM-honest
+    64Mi scale (MEASURE_FILTER.json v3 section); the with-indices variant
+    stays on v1 (v3's two rotation gathers lose there, 0.62 vs 0.52 ms)."""
+    n = values.shape[0]
+    blk = DEF_R * LANES
+    pad = (-n) % blk
+    x = values
+    if pad:
+        x = jnp.concatenate(
+            [values, jnp.full((pad,), 0xFFFFFFFF, values.dtype)]
+        )
+    out, count = filter_compact_pallas3(x, interpret=interpret)
+    out = out[:n]
+    lane = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 0)
+    return jnp.where(lane < count, out, values.dtype.type(fill)), count
+
+
 @functools.partial(
     jax.jit, static_argnames=("threshold", "block_rows", "interpret")
 )
