@@ -453,13 +453,39 @@ def run_worker():
     )
 
 
+def aggregate_samples(samples):
+    """(median, min, spread%) of every numeric metric present in ALL
+    samples. Spread = (max - min) / |median| * 100."""
+    import statistics
+
+    numeric = [
+        k
+        for k, v in samples[0].items()
+        if isinstance(v, (int, float)) and not isinstance(v, bool)
+        and all(
+            isinstance(s.get(k), (int, float)) and not isinstance(s.get(k), bool)
+            for s in samples
+        )
+    ]
+    median = {k: statistics.median(s[k] for s in samples) for k in numeric}
+    mn = {k: min(s[k] for s in samples) for k in numeric}
+    spread = {
+        k: (
+            100.0 * (max(s[k] for s in samples) - mn[k]) / abs(median[k])
+            if median[k]
+            else 0.0
+        )
+        for k in numeric
+    }
+    return median, mn, spread
+
+
 def run_parent():
     """Fork BENCH_REPS fresh worker processes (the baseline-isolation
     pattern: identical-code single samples spread 45% across round-4 runs)
     and report the MEDIAN; per-metric samples/median/min/spread go to
     BENCH_DETAILS.json. Reference protocol: --benchmark_repetitions=3
     (scripts/run-upmem-2048.sh:17)."""
-    import statistics
     import subprocess
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -514,28 +540,7 @@ def run_parent():
         )
         return
 
-    # aggregate: median + min of every numeric metric present in ALL samples
-    numeric = [
-        k
-        for k, v in samples[0].items()
-        if isinstance(v, (int, float)) and not isinstance(v, bool)
-        and all(
-            isinstance(s.get(k), (int, float)) and not isinstance(s.get(k), bool)
-            for s in samples
-        )
-    ]
-    median = {k: statistics.median(s[k] for s in samples) for k in numeric}
-    mn = {k: min(s[k] for s in samples) for k in numeric}
-    spread = {
-        k: (
-            100.0
-            * (max(s[k] for s in samples) - mn[k])
-            / abs(median[k])
-            if median[k]
-            else 0.0
-        )
-        for k in numeric
-    }
+    median, mn, spread = aggregate_samples(samples)
     details = {
         "reps": len(samples),
         "devices": samples[0].get("devices"),

@@ -413,14 +413,20 @@ class Aggregate(Node):
     def execute(self, ds: DeviceSet) -> Table:
         if self.agg != "sum":
             raise ValueError(f"unsupported aggregate {self.agg!r}")
-        chain = _streamable_chain(self.input)
+        # the fused/streaming tiers are exact-uint64 reductions; float
+        # columns take the operator (SumTpu's Double variant — the
+        # reference's AggrNative<DoubleArray>, aggr_native.cc:95-96)
+        u32_col = self._column_is_u32()
+        chain = _streamable_chain(self.input) if u32_col else None
         if chain is not None:
             result = self._stream_scalar(ds, *chain)
-        elif (result := self._take_sum_stream(ds)) is not None:
+        elif u32_col and (result := self._take_sum_stream(ds)) is not None:
             pass
         else:
             t = self.input._run(ds)
-            if t.is_device:
+            if t.is_device and u32_col is not False and all(
+                b[self.column].dtype == np.uint32 for b in t
+            ):
                 # device-resident input (an upstream node's un-materialized
                 # result): reduce in place — per-batch exact-u64 partial
                 # sums, scalar readbacks only, no host staging round trip
@@ -437,11 +443,35 @@ class Aggregate(Node):
                 from .operators.aggr_op import SumTpu
 
                 result = SumTpu(ds, t, self.column).Prepare().Run()
+        if isinstance(result, float):
+            return Table(
+                [Batch.from_numpy(
+                    {self.agg: np.asarray([result], np.float64)}
+                )]
+            )
         lo = np.uint32(result & 0xFFFFFFFF)
         hi = np.uint32(result >> 32)
         return Table(
             [Batch.from_numpy({f"{self.agg}_lo": np.asarray([lo]), f"{self.agg}_hi": np.asarray([hi])})]
         )
+
+    def _column_is_u32(self):
+        """True/False when the aggregated column's dtype is statically
+        visible at a Source below (Projects/Filters don't change dtypes);
+        None when the input isn't a plain source chain (resolved after
+        execution instead)."""
+        cur = self.input
+        while isinstance(cur, (Filter, Project)):
+            cur = cur.input
+        if isinstance(cur, Source) and cur.table.batches:
+            b = cur.table[0]
+            if self.column in b.names:
+                return b[self.column].dtype == np.uint32
+        if isinstance(cur, TakeNode) and isinstance(cur.input, Source):
+            b = cur.input.table[0]
+            if self.column in b.names:
+                return b[self.column].dtype == np.uint32
+        return None
 
     def _take_sum_stream(self, ds: DeviceSet):
         """TakeNode(Source, Source) -> Sum fused tier: a sum is
@@ -550,9 +580,11 @@ class Aggregate(Node):
         total = int((his << np.uint64(32)).sum(dtype=np.uint64) + los.sum())
         return total & ((1 << 64) - 1)
 
-    def scalar(self, ds: DeviceSet) -> int:
+    def scalar(self, ds: DeviceSet) -> int | float:
         t = self._run(ds)
         b = t[0].to_numpy()
+        if self.agg in b:  # float (Double) aggregate: one f64 column
+            return float(b[self.agg][0])
         return (int(b[f"{self.agg}_hi"][0]) << 32) | int(b[f"{self.agg}_lo"][0])
 
 

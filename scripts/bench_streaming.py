@@ -100,6 +100,10 @@ def main():
             "serialized_ms": serialized,
             "overlap_saved_ms": serialized - wall * 1e3,
         }
+        if rec["rounds"] == 1:
+            # a single round has nothing to overlap: serialized == pipelined
+            # work and the difference is pure timer noise (can be negative)
+            rec["note"] = "rounds=1: no overlap possible; delta is noise"
         results.append(rec)
         print(json.dumps(rec), flush=True)
 

@@ -82,3 +82,28 @@ def test_time_chained_multi_interleaved():
     out = time_chained_multi([("f", f, x, 4), ("g", g, x, 4)], reps=2)
     assert set(out) == {"f", "g"}
     assert all(v > 0 for v in out.values())
+
+
+def test_bench_aggregate_samples():
+    # the repetition-protocol aggregation: median/min/spread over numeric
+    # keys present in every sample; bools and partial keys excluded
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    samples = [
+        {"a": 1.0, "b": 10, "flag": True, "only_first": 5},
+        {"a": 3.0, "b": 20, "flag": False},
+        {"a": 2.0, "b": 40, "flag": True},
+    ]
+    med, mn, spread = bench.aggregate_samples(samples)
+    assert med == {"a": 2.0, "b": 20}
+    assert mn == {"a": 1.0, "b": 10}
+    assert abs(spread["a"] - 100.0) < 1e-9  # (3-1)/2
+    assert abs(spread["b"] - 150.0) < 1e-9  # (40-10)/20
+    assert "flag" not in med and "only_first" not in med

@@ -472,3 +472,24 @@ def test_device_resident_plan_chain():
     gt = pa.table({k: np.asarray(host[k]) for k in ("fk", "y", "x")})
     key = [(c, "ascending") for c in ("fk", "y", "x")]
     assert gt.sort_by(key).equals(exp_t.select(["fk", "y", "x"]).sort_by(key))
+
+
+def test_aggregate_plan_float_double(ds):
+    # float columns take the Double aggregate (AggrNative<DoubleArray>
+    # analog) instead of the exact-u64 streaming tiers
+    from dpu_olap_tpu.columnar import Batch, Table
+
+    rng = np.random.default_rng(21)
+    a = (rng.random(1 << 12) * 1000).astype(np.float64)
+    t = Table([Batch.from_numpy({"a": a})])
+    got = Aggregate(Source(t), "a").scalar(ds)
+    assert isinstance(got, float)
+    np.testing.assert_allclose(got, a.sum(), rtol=1e-6)
+
+    # through a Filter chain on another (u32) column: must NOT take the
+    # u64 streaming tier for the float aggregate
+    b = rng.integers(0, 2**32, 1 << 12, dtype=np.uint32)
+    t2 = Table([Batch.from_numpy({"a": a, "b": b})])
+    got2 = Aggregate(Filter(Source(t2), "b"), "a").scalar(ds)
+    expect2 = a[b < np.uint32(1 << 30)].sum()
+    np.testing.assert_allclose(got2, expect2, rtol=1e-6)
