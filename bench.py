@@ -533,6 +533,7 @@ def run_parent():
                     "value": None,
                     "unit": "rows/s",
                     "vs_baseline": None,
+                    "sf": int(os.environ.get("SF", "1")),
                     "skipped": True,
                     "reason": skip_reason or "all bench workers failed",
                 }

@@ -363,7 +363,9 @@ def ht_probe_sorted_stream(
     if (_on_tpu() or interpret) and sortable_bitonic(k):
         spos, pval, found_s = _probe_sorted_stream(table, q, interpret)
         return spos, jnp.where(found_s, pval, 0), found_s
-    # CPU / tiny-shape fallback: ordered probe re-expressed as a stream
+    # CPU / tiny-shape fallback: ordered probe re-expressed as a stream.
+    # The stream ORDER is unspecified by contract (consumers key on pos);
+    # here it is query order with pos = identity.
     val, found = ht_probe_sorted(table, q, interpret=interpret)
     pos = jax.lax.broadcasted_iota(jnp.uint32, (k,), 0)
     return pos, val, found
