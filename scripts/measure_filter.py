@@ -125,6 +125,143 @@ def measure_v3():
         del x
 
 
+def measure_v4():
+    """Round-5 A/B: v4 (MXU-routed row phase, ops/filter_pallas4.py) vs the
+    committed v1/v3 defaults — INTERLEAVED in one process via
+    time_chained_multi. Parity vs numpy on-device first (interpret mode does
+    not catch Mosaic lowering semantics)."""
+    from dpu_olap_tpu.bench.device_time import time_chained_multi
+    from dpu_olap_tpu.ops.filter_pallas import (
+        filter_compact_pallas,
+        filter_with_indices_pallas,
+    )
+    from dpu_olap_tpu.ops.filter_pallas3 import filter_compact_pallas3
+    from dpu_olap_tpu.ops.filter_pallas4 import (
+        filter_compact_pallas4,
+        filter_with_indices_pallas4,
+    )
+
+    # on-device parity at 2Mi
+    n0 = 2 << 20
+    xs = np.random.default_rng(7).integers(0, 2**32, n0, dtype=np.uint32)
+    thr = 1 << 30
+    ref = xs[xs < thr]
+    refi = np.nonzero(xs < thr)[0].astype(np.uint32)
+    out, cnt = filter_compact_pallas4(jnp.asarray(xs), threshold=thr)
+    cnt = int(cnt)
+    assert cnt == len(ref) and np.array_equal(np.asarray(out)[:cnt], ref), \
+        "v4 compact device parity FAILED"
+    ov, oi, c2 = filter_with_indices_pallas4(jnp.asarray(xs), threshold=thr)
+    assert int(c2) == len(ref) and np.array_equal(
+        np.asarray(oi)[: int(c2)], refi
+    ), "v4 with_indices device parity FAILED"
+    print("[v4] device parity ok", flush=True)
+
+    for n, tag, k in ((8 << 20, "8Mi", 32), (64 << 20, "64Mi", 4)):
+        x = jnp.asarray(
+            np.random.default_rng(0).integers(0, 2**32, n, dtype=np.uint32)
+        )
+        jax.block_until_ready(x)
+
+        def cstep(f, **kw):
+            def step(c):
+                out, cnt = f(c, **kw)
+                return c ^ (out & jnp.uint32(1)) ^ cnt.astype(jnp.uint32)
+            return step
+
+        def wstep(f, **kw):
+            def step(c):
+                out, sel, cnt = f(c, **kw)
+                return (
+                    c ^ (out & jnp.uint32(1)) ^ (sel & jnp.uint32(2))
+                    ^ cnt.astype(jnp.uint32)
+                )
+            return step
+
+        specs = [
+            (f"v4h4_{tag}", cstep(filter_compact_pallas4, halves=4), x, k),
+            (f"v4h2_{tag}", cstep(filter_compact_pallas4, halves=2), x, k),
+            (f"v3_r256_{tag}", cstep(filter_compact_pallas3, block_rows=256),
+             x, k),
+            (f"v1_r512_{tag}", cstep(filter_compact_pallas, block_rows=512),
+             x, k),
+            (f"v4wih4_{tag}", wstep(filter_with_indices_pallas4, halves=4),
+             x, k),
+            (f"v1wi_r256_{tag}",
+             wstep(filter_with_indices_pallas, block_rows=256), x, k),
+        ]
+        res = time_chained_multi(specs)
+        for name, sec in res.items():
+            record("v4", name, sec * 1e3,
+                   f"{n*4/sec/1e9:.0f} GB/s", nbytes=n * 4)
+        del x
+
+
+def _c_op_kernel(op, reps, x_ref, i_ref, out_ref):
+    """Stage-C' primitive costs on (128,128) tiles (v4 attribution)."""
+    v = x_ref[:]
+    idx = i_ref[:]
+    for t in range(reps):
+        if op == "transpose":
+            v = jnp.transpose(v) + t
+        elif op == "sq_gather":
+            v = jnp.take_along_axis(v, (idx + t) & 127, axis=1)
+        elif op == "count_matmul":
+            a = ((v & 127) <= ((idx + t) & 127)).astype(jnp.bfloat16)
+            b = ((v >> 7) == (idx & 127)).astype(jnp.bfloat16)
+            dg = jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            v = v ^ dg.astype(jnp.int32)
+        elif op == "cprep":
+            # the non-matmul setup: compares + casts + clip + sum
+            s0 = jnp.sum(((v >> 7) < idx).astype(jnp.int32), axis=0,
+                         keepdims=True)
+            v = jnp.clip(v + s0 + t, 0, (1 << 30))
+        else:
+            raise ValueError(op)
+    out_ref[:] = v
+
+
+def measure_cops():
+    r = 128
+    reps = 16
+    rng = np.random.default_rng(0)
+    nblk = 128  # 128 tiles of (128,128) = 2Mi elements
+    n = nblk * r * LANES
+    xs = jnp.asarray(rng.integers(0, 2**31, n, dtype=np.int32))
+    ids = jnp.asarray(rng.integers(0, LANES, n, dtype=np.int32))
+    jax.block_until_ready((xs, ids))
+    for op in ("transpose", "sq_gather", "count_matmul", "cprep"):
+        f = pl.pallas_call(
+            functools.partial(_c_op_kernel, op, reps),
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((r, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=jax.ShapeDtypeStruct((nblk * r, LANES), jnp.int32),
+            out_specs=pl.BlockSpec((r, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+
+        def step(c, f=f):
+            return f(c.reshape(nblk * r, LANES), ids.reshape(nblk * r, LANES)
+                     ).reshape(n) ^ jnp.int32(1)
+
+        sec = time_chained(step, xs, k=16)
+        per_pass = sec / reps
+        record(
+            "cops", f"{op}_r128x{reps}", sec * 1e3,
+            f"{n*4/per_pass/1e9:.0f} GB/s per pass "
+            f"({per_pass*1e6:.2f} us/pass/2Mi)",
+            nbytes=n * 4,
+        )
+
+
 # ---- stage-ablated variants on the real kernel's skeleton -----------------
 
 def _variant_kernel(stage, threshold, x_ref, out_ref, cnt_ref, work_v,

@@ -75,6 +75,19 @@ def test_lower_filter_v3_kernels():
     lowers(lambda v: filter_compact_pallas3(v, block_rows=512), u32(1 << 17))
 
 
+def test_lower_filter_v4_kernels():
+    from dpu_olap_tpu.ops.filter_pallas4 import (
+        filter_compact_pallas4,
+        filter_pallas4_padded,
+        filter_with_indices_pallas4,
+    )
+
+    lowers(lambda v: filter_compact_pallas4(v), u32(1 << 18))
+    lowers(lambda v: filter_compact_pallas4(v, halves=2), u32(3 << 15))
+    lowers(lambda v: filter_with_indices_pallas4(v), u32(1 << 18))
+    lowers(lambda v: filter_pallas4_padded(v), u32(50_000))
+
+
 def test_lower_filter_v2_kernels():
     # the documented-negative v2 kernel stays lowering-pinned so its
     # measurements remain reproducible on future toolchains
