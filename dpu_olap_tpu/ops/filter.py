@@ -97,12 +97,15 @@ def filter_compact(
             from .filter_pallas import filter_pallas_padded
 
             return filter_pallas_padded(values, fill=fill, trace=True)
-        # v3 (two-stage split network) is the compact default since round 5:
-        # +10% over v1 at the 8Mi chain regime, a wash at the HBM-honest
-        # 64Mi scale (MEASURE_FILTER.json v3 section)
-        from .filter_pallas3 import filter_pallas3_padded
+        # v1 (flattened butterfly, r512) is the compact default: the round-5
+        # 6-sample interleaved A/B (MEASURE_FILTER.json defaultab — 3 fresh
+        # processes, v1/v3 duplicated within each) puts v1 at or ahead of v3
+        # by median at both scales (8Mi 0.548 vs 0.588 ms; 64Mi 5.69 vs
+        # 5.97), retracting the single-process "+10% for v3" round-5 capture;
+        # v3/v4 stay as tested alternates (DESIGN.md filter section).
+        from .filter_pallas import filter_pallas_padded
 
-        return filter_pallas3_padded(values, fill=fill)
+        return filter_pallas_padded(values, fill=fill)
     return _filter_compact_xla(values, predicate, impl, fill)
 
 

@@ -284,10 +284,11 @@ def filter_pallas3_padded(values, fill: int = 0, interpret: bool = False):
     (mirrors filter_pallas.filter_pallas_padded): pads with all-fail
     sentinels, compacts with the v3 kernel, poisons the tail to ``fill``.
 
-    v3 is the compact-path default since round 5: measured +10% over v1 at
-    the 8Mi chain regime (0.544 vs 0.596 ms) and a wash at the HBM-honest
-    64Mi scale (MEASURE_FILTER.json v3 section); the with-indices variant
-    stays on v1 (v3's two rotation gathers lose there, 0.62 vs 0.52 ms)."""
+    v3 was briefly the compact-path default (single-process "+10% over v1"
+    capture); the round-5 6-sample interleaved A/B retracted that — v1 r512
+    leads by median at both scales (MEASURE_FILTER.json defaultab), so v3
+    is now a tested alternate. The with-indices variant stays on v1 (v3's
+    two rotation gathers lose there, 0.62 vs 0.52 ms)."""
     n = values.shape[0]
     blk = DEF_R * LANES
     pad = (-n) % blk

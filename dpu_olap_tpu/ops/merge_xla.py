@@ -157,13 +157,14 @@ def join_dense_eligible(n_l: int, n_r: int) -> bool:
     return sortable_bitonic(n_l) and n_r >= DEF_SLICE_ROWS * 128
 
 
-@partial(jax.jit, static_argnames=("window_rows", "interpret"))
+@partial(jax.jit, static_argnames=("window_rows", "slice_rows", "interpret"))
 def join_shard_dense(
     left_fk: jnp.ndarray,
     left_payload: Tuple[jnp.ndarray, ...],
     right_pk: jnp.ndarray,
     right_payload: Tuple[jnp.ndarray, ...],
     window_rows: int | None = None,
+    slice_rows: int | None = None,
     interpret: bool = False,
 ):
     """Join against a DENSE pk column (pk[i] = pk[0] + i, verified host-side
@@ -184,8 +185,12 @@ def join_shard_dense(
     from .take_pallas import DEF_SLICE_ROWS, gather_sorted_pallas
 
     n_r, n_l = right_pk.shape[0], left_fk.shape[0]
+    if slice_rows is None:
+        slice_rows = DEF_SLICE_ROWS
     if window_rows is None:
-        window_rows = dense_window_rows(n_l, n_r)
+        from .take_pallas import default_window_rows
+
+        window_rows = default_window_rows(n_r, n_l, slice_rows)
     lo = right_pk[0].astype(jnp.uint32)
     idx = left_fk.astype(jnp.uint32) - lo  # out-of-range wraps huge, masked
 
@@ -197,7 +202,7 @@ def join_shard_dense(
     sidx, sys_ = sorted_[0], sorted_[1:]
 
     matched = sidx < jnp.uint32(n_r)
-    blk = DEF_SLICE_ROWS * 128
+    blk = slice_rows * 128
     npad = (-n_r) % blk
     kpad = (-n_l) % 128
     sidx_cl = jnp.minimum(sidx, jnp.uint32(n_r - 1))
@@ -213,7 +218,8 @@ def join_shard_dense(
         if npad:
             xx = jnp.concatenate([xx, jnp.zeros((npad,), jnp.uint32)])
         val, f = gather_sorted_pallas(
-            xx, sidx_cl, window_rows=window_rows, interpret=interpret
+            xx, sidx_cl, slice_rows=slice_rows, window_rows=window_rows,
+            interpret=interpret,
         )
         overflow = overflow | f
         out_r.append(jnp.where(matched, val[:n_l], 0))

@@ -197,6 +197,43 @@ def measure_v4():
         del x
 
 
+def measure_defaultab():
+    """Compact-default A/B: v1 r512 vs v3 r256, interleaved in ONE process
+    at 8Mi and 64Mi. Run in >=3 fresh processes (scripts/run_defaultab.sh
+    pattern: for i in 1 2 3; do python scripts/measure_filter.py defaultab;
+    done) — the round-5 v4 campaign showed the 8Mi ordering flips across
+    processes while 64Mi consistently favored v1. Appends numbered keys."""
+    from dpu_olap_tpu.bench.device_time import time_chained_multi
+    from dpu_olap_tpu.ops.filter_pallas import filter_compact_pallas
+    from dpu_olap_tpu.ops.filter_pallas3 import filter_compact_pallas3
+
+    run_id = len(
+        [k for k in results.get("defaultab", {}) if k.startswith("v1_8Mi")]
+    )
+    for n, tag, k in ((8 << 20, "8Mi", 32), (64 << 20, "64Mi", 8)):
+        x = jnp.asarray(
+            np.random.default_rng(0).integers(0, 2**32, n, dtype=np.uint32)
+        )
+        jax.block_until_ready(x)
+
+        def cstep(f, r):
+            def step(c):
+                out, cnt = f(c, block_rows=r)
+                return c ^ (out & jnp.uint32(1)) ^ cnt.astype(jnp.uint32)
+            return step
+
+        res = time_chained_multi([
+            (f"v1_{tag}#{run_id}", cstep(filter_compact_pallas, 512), x, k),
+            (f"v3_{tag}#{run_id}", cstep(filter_compact_pallas3, 256), x, k),
+            (f"v1b_{tag}#{run_id}", cstep(filter_compact_pallas, 512), x, k),
+            (f"v3b_{tag}#{run_id}", cstep(filter_compact_pallas3, 256), x, k),
+        ])
+        for name, sec in res.items():
+            record("defaultab", name, sec * 1e3,
+                   f"{n*4/sec/1e9:.0f} GB/s", nbytes=n * 4)
+        del x
+
+
 def _c_op_kernel(op, reps, x_ref, i_ref, out_ref):
     """Stage-C' primitive costs on (128,128) tiles (v4 attribution)."""
     v = x_ref[:]

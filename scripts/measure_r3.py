@@ -380,6 +380,61 @@ def measure_dense():
 
 
 
+def measure_dense2():
+    """Round-5 slice_rows sweep at the flagship join shape (2Mi x 2Mi,
+    ~4096 queries consumed per 32-row table slice). The gather kernel's
+    select tree costs ~2*slice_rows passes over the query window, so at
+    HIGH query density smaller slices should cut work nearly linearly —
+    the opposite regime from BM_Take (take3: 512 queries/slice, where
+    per-step fixed costs made sr8 LOSE). All candidates interleaved in one
+    process; overflow flags asserted zero."""
+    from dpu_olap_tpu.bench.device_time import time_chained_multi
+    from dpu_olap_tpu.ops.merge_xla import join_shard_dense
+
+    rng = np.random.default_rng(42)
+    per = 1 << 21
+    fk = jnp.asarray(rng.integers(0, per, per, dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, 2**32, per, dtype=np.uint32))
+    pk = jnp.arange(per, dtype=jnp.uint32)
+    x = jnp.asarray(rng.integers(0, 2**32, per, dtype=np.uint32))
+    jax.block_until_ready((fk, y, pk, x))
+
+    def mk(sr, wr):
+        def step(c):
+            key, (yo,), (xo,), m, ovf = join_shard_dense(
+                c, (y,), pk, (x,), window_rows=wr, slice_rows=sr
+            )
+            return (
+                c ^ (key & jnp.uint32(1)) ^ (yo & jnp.uint32(2))
+                ^ (xo & jnp.uint32(4)) ^ m.astype(jnp.uint32)
+                ^ ovf.astype(jnp.uint32)
+            )
+        return step
+
+    # Poisson-safe minima per slice size (default_window_rows): sr32 -> 40,
+    # sr16 -> 24, sr8 -> 16. sr4 violates the 8-sublane block minimum; wr32
+    # at sr32 overflows (the round-3 dense wr32 sweep point predates the
+    # overflow exclusion and measured an overflowed run).
+    cands = [(32, 40), (16, 24), (16, 32), (8, 16), (8, 24)]
+    # overflow check once per candidate (untimed)
+    live = []
+    for sr, wr in cands:
+        ovf = join_shard_dense(
+            fk, (y,), pk, (x,), window_rows=wr, slice_rows=sr
+        )[4]
+        if int(np.asarray(ovf)):
+            record("dense2", f"join_dense_sr{sr}_wr{wr}", -1.0,
+                   "OVERFLOW — excluded")
+        else:
+            live.append((sr, wr))
+    res = time_chained_multi(
+        [(f"sr{sr}_wr{wr}", mk(sr, wr), fk, 8) for sr, wr in live]
+    )
+    for name, sec in res.items():
+        record("dense2", f"join_dense_{name}", sec * 1e3,
+               f"{per/sec/1e6:.0f} M rows/s", nbytes=per * 16)
+
+
 def measure_take4():
     """Non-interpret window-overflow retry (round-4, verdict item 3): an
     adversarially clustered index set overflows the shape-derived window on
