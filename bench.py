@@ -175,7 +175,10 @@ def run_worker():
         return (fk[:per] & jnp.uint32(1)) ^ (y[:per] & jnp.uint32(2)) \
             ^ (x[:per] & jnp.uint32(4)) ^ matched[:per].astype(jnp.uint32)
 
-    def join_step(c):
+    def join_step(c, ly, rk, rx):
+        # ly/rk/rx ride as jit ARGUMENTS (time_chained consts): closing
+        # over them embeds ~24MB of HLO constants per SF batch, which is
+        # what blew the tunnel's HTTP 413 upload limit at SF=16 (r5 sweep)
         def body(_, inp):
             return 0, join_one(*inp)
 
@@ -209,7 +212,7 @@ def run_worker():
             return list(sort_bitonic(tuple(ops)))
         return jax.lax.sort(ops, num_keys=1)
 
-    def phase_sort(c):
+    def phase_sort(c, ly0, rk0, rx0):
         # probe-side sort only (dense/merge paths) / full concat sort (fused)
         if use_dense:
             out = _sort([c, ly0])
@@ -233,7 +236,7 @@ def run_worker():
         acc = out[0] ^ out[-1]
         return rehash(acc[:per])
 
-    def phase_sort_merge(c):
+    def phase_sort_merge(c, ly0, rk0, rx0):
         # sort + gather (dense) / sort + merge (merge) / sort + fill (fused)
         if use_dense:
             from dpu_olap_tpu.ops.take_pallas import gather_sorted_pallas
@@ -288,9 +291,9 @@ def run_worker():
     def measure():
         return time_chained_multi(
             [
-                ("total", join_step, lf, max(2, 8 // sf)),
-                ("sort", phase_sort, lf0, 8),
-                ("mid", phase_sort_merge, lf0, 8),
+                ("total", join_step, lf, max(2, 8 // sf), (ly, rk, rx)),
+                ("sort", phase_sort, lf0, 8, (ly0, rk0, rx0)),
+                ("mid", phase_sort_merge, lf0, 8, (ly0, rk0, rx0)),
             ]
         )
 
@@ -421,14 +424,14 @@ def run_worker():
     details["take_sorted_stream"] = use_sorted
 
     if use_sorted:
-        def take_step(c):
-            out, f = take_sorted(rx_flat, c, window_rows=twr)
+        def take_step(c, tbl):
+            out, f = take_sorted(tbl, c, window_rows=twr)
             return c ^ (out & jnp.uint32(1)).astype(jnp.int32) ^ f
     else:
-        def take_step(c):
-            out = take(rx_flat, c)
+        def take_step(c, tbl):
+            out = take(tbl, c)
             return c ^ (out & jnp.uint32(1)).astype(jnp.int32)
-    tsec = time_chained(take_step, idx, k=4)
+    tsec = time_chained(take_step, idx, k=4, consts=(rx_flat,))
     details["take_rows_per_s"] = ni / tsec
     _log("writing results")
 

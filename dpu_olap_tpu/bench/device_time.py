@@ -22,9 +22,9 @@ import jax.numpy as jnp
 
 
 def _chain(make_step, k: int):
-    def run(x):
+    def run(x, *consts):
         def body(carry, _):
-            return make_step(carry), None
+            return make_step(carry, *consts), None
 
         out, _ = jax.lax.scan(body, x, None, length=k)
         return out
@@ -32,9 +32,18 @@ def _chain(make_step, k: int):
     return jax.jit(run)
 
 
-def time_chained(make_step, x, k: int = 16, reps: int = 3) -> float:
+def time_chained(make_step, x, k: int = 16, reps: int = 3,
+                 consts: tuple = ()) -> float:
     """Median seconds per op, measured as (T(2k) - T(k)) / k so fixed
-    dispatch/sync latency cancels."""
+    dispatch/sync latency cancels.
+
+    Side operands the step needs (payload columns, lookup tables) go in
+    ``consts`` — make_step is then called as make_step(carry, *consts) and
+    they ride as jit ARGUMENTS. Closing over device arrays instead embeds
+    them as HLO constants: the serialized program then scales with the
+    data (measured 25MB of HLO text for 4MB of captured arrays) — on the
+    axon tunnel that is minutes of remote_compile upload and the SF=16
+    flagship program exceeded the tunnel's HTTP 413 length limit."""
     import numpy as np
 
     def _sync(out):
@@ -46,12 +55,12 @@ def time_chained(make_step, x, k: int = 16, reps: int = 3) -> float:
     f1 = _chain(make_step, k)
     f2 = _chain(make_step, 2 * k)
     # warm both compiles
-    _sync(f1(x))
-    _sync(f2(x))
+    _sync(f1(x, *consts))
+    _sync(f2(x, *consts))
 
     def run(f):
         t0 = time.perf_counter()
-        _sync(f(x))
+        _sync(f(x, *consts))
         return time.perf_counter() - t0
 
     deltas = []
@@ -66,7 +75,9 @@ def time_chained(make_step, x, k: int = 16, reps: int = 3) -> float:
 def time_chained_multi(specs, reps: int = 3) -> dict:
     """Interleaved chained timing of SEVERAL candidates in one process.
 
-    specs: list of (name, make_step, x, k). All K and 2K chains compile and
+    specs: list of (name, make_step, x, k) or (name, make_step, x, k,
+    consts) — consts as in time_chained (jit arguments, not HLO-embedded
+    closure constants). All K and 2K chains compile and
     warm first; measurement rounds then visit every candidate round-robin,
     so slow drift (tunnel load, thermal clock migration) lands evenly
     across candidates instead of in whichever ran last — the failure mode
@@ -81,19 +92,21 @@ def time_chained_multi(specs, reps: int = 3) -> dict:
         return np.asarray(out.ravel()[:1])
 
     compiled = []
-    for name, make_step, x, k in specs:
+    for spec in specs:
+        name, make_step, x, k = spec[:4]
+        consts = spec[4] if len(spec) > 4 else ()
         f1, f2 = _chain(make_step, k), _chain(make_step, 2 * k)
-        _sync(f1(x))
-        _sync(f2(x))
-        compiled.append((name, f1, f2, x, k))
+        _sync(f1(x, *consts))
+        _sync(f2(x, *consts))
+        compiled.append((name, f1, f2, x, k, consts))
 
-    deltas = {name: [] for name, *_ in specs}
+    deltas = {spec[0]: [] for spec in specs}
     for _ in range(reps):
-        for name, f1, f2, x, k in compiled:
+        for name, f1, f2, x, k, consts in compiled:
             t0 = time.perf_counter()
-            _sync(f1(x))
+            _sync(f1(x, *consts))
             t1 = time.perf_counter()
-            _sync(f2(x))
+            _sync(f2(x, *consts))
             t2 = time.perf_counter()
             deltas[name].append(((t2 - t1) - (t1 - t0)) / k)
     out = {}
